@@ -1,0 +1,23 @@
+from sapcu_tpu.ops.pointops import (
+    pairwise_sqdist,
+    knn,
+    knn_tiled,
+    index_points,
+    graph_feature,
+    farthest_point_sample,
+    rotation_to_target,
+    rotate_points,
+    point_triangle_closest,
+)
+
+__all__ = [
+    "pairwise_sqdist",
+    "knn",
+    "knn_tiled",
+    "index_points",
+    "graph_feature",
+    "farthest_point_sample",
+    "rotation_to_target",
+    "rotate_points",
+    "point_triangle_closest",
+]

@@ -1,0 +1,234 @@
+"""Pure jittable point-cloud ops.
+
+TPU-first reimplementations of the point-cloud helpers the reference
+duplicates across ``fn/snn_coder.py``, ``fd/snn_coder.py``, ``generation.py``
+and ``generate.py``. Everything here is shape-static, channels-last, and
+compiles to MXU matmuls + VPU elementwise under jit.
+
+Reference parity notes (file:line cite the PyTorch reference):
+- ``pairwise_sqdist``     fn/snn_coder.py:10-17 (``square_distance``)
+- ``knn``                 fn/snn_coder.py:31-39 (nearest-first, includes self)
+- ``index_points``        fn/snn_coder.py:19-29
+- ``graph_feature``       fd/snn_coder.py:52-68 (``get_graph_feature``,
+                          edge feature = [x_j - x_i, x_j])
+- ``farthest_point_sample`` generate.py:56-74 (start index N//2, 1e32 init)
+- ``rotation_to_target``  generation.py:30-47 (Rodrigues; parallel AND
+                          antiparallel inputs both yield identity — the
+                          reference's documented quirk is preserved)
+- ``point_triangle_closest`` dense.cpp:135-174 (closest point on triangle)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Squared Euclidean distance matrix.
+
+    src: [..., N, C], dst: [..., M, C] -> [..., N, M].
+
+    Computed as ||s||^2 + ||d||^2 - 2 s.d so the inner product runs on the
+    MXU. Result may be slightly negative from cancellation; callers that
+    need true distances should clamp at 0.
+    """
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)  # [..., N, 1]
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)  # [..., M, 1]
+    inner = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                       preferred_element_type=src.dtype)
+    return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
+
+
+def knn(points: jax.Array, k: int, queries: jax.Array | None = None) -> jax.Array:
+    """k-nearest-neighbour indices, nearest first.
+
+    points:  [..., N, C] reference set.
+    queries: [..., Q, C] (defaults to ``points`` — self-kNN includes self
+             at position 0, matching fn/snn_coder.py:31-39).
+    Returns int32 [..., Q, k].
+
+    k is statically clamped to N (the reference's ``k = min(k, N)``).
+    """
+    if queries is None:
+        queries = points
+    n = points.shape[-2]
+    k = min(k, n)
+    dist = pairwise_sqdist(queries, points)
+    _, idx = jax.lax.top_k(-dist, k)
+    return idx.astype(jnp.int32)
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather point features by index.
+
+    points: [B, N, C]; idx: [B, S] or [B, S, K] -> [B, S, C] / [B, S, K, C].
+    """
+    if idx.ndim == points.ndim - 1:  # [B, S]
+        return jnp.take_along_axis(points, idx[..., None], axis=-2)
+    if idx.ndim == points.ndim:  # [B, S, K]
+        b, s, kk = idx.shape[-3], idx.shape[-2], idx.shape[-1]
+        flat = idx.reshape(*idx.shape[:-2], s * kk)
+        out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+        return out.reshape(*idx.shape[:-2], s, kk, points.shape[-1])
+    raise ValueError(f"idx rank {idx.ndim} incompatible with points rank {points.ndim}")
+
+
+def graph_feature(x: jax.Array, k: int = 20, idx: jax.Array | None = None) -> jax.Array:
+    """DGCNN edge features in channels-last layout.
+
+    x: [B, N, C] -> [B, N, k, 2C] where the feature is
+    ``concat([x_j - x_i, x_j])`` over the k nearest neighbours of each
+    point (fd/snn_coder.py:52-68, re-laid-out so C sits on TPU lanes).
+    """
+    if idx is None:
+        idx = knn(x, k)
+    neighbors = index_points(x, idx)            # [B, N, k, C]
+    center = x[..., :, None, :]                  # [B, N, 1, C]
+    return jnp.concatenate([neighbors - center, jnp.broadcast_to(neighbors, neighbors.shape)], axis=-1)
+
+
+def farthest_point_sample(points: jax.Array, npoint: int,
+                          start_idx: int | None = None) -> jax.Array:
+    """Iterative farthest point sampling, matching generate.py:56-74.
+
+    points: [N, 3] -> int32 [npoint] indices. Start index defaults to N//2
+    and the running min-distance buffer is initialised to 1e32, exactly as
+    the reference does. Sequential by nature; expressed as a fori_loop so
+    XLA keeps the whole loop on-device.
+    """
+    n = points.shape[0]
+    if start_idx is None:
+        start_idx = n // 2
+
+    def body(i, carry):
+        centroids, distance, farthest = carry
+        centroids = centroids.at[i].set(farthest)
+        centroid = points[farthest]
+        d = jnp.sum((points - centroid) ** 2, axis=-1)
+        distance = jnp.minimum(distance, d)
+        return centroids, distance, jnp.argmax(distance).astype(jnp.int32)
+
+    centroids = jnp.zeros((npoint,), dtype=jnp.int32)
+    distance = jnp.full((n,), 1e32, dtype=points.dtype)
+    farthest = jnp.asarray(start_idx, dtype=jnp.int32)
+    centroids, _, _ = jax.lax.fori_loop(0, npoint, body, (centroids, distance, farthest))
+    return centroids
+
+
+def _skew(v: jax.Array) -> jax.Array:
+    """[..., 3] -> [..., 3, 3] cross-product matrix."""
+    zero = jnp.zeros_like(v[..., 0])
+    rows = jnp.stack([
+        jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
+    ], axis=-2)
+    return rows
+
+
+def rotation_to_target(vec: jax.Array, target: jax.Array) -> jax.Array:
+    """Rotation matrix aligning ``vec`` with ``target`` (Rodrigues form).
+
+    vec, target: [..., 3] -> [..., 3, 3]. Batched/vmappable replacement for
+    the serial numpy loop at generation.py:157-160.
+
+    Parity quirk preserved: when cross(vec, target) == 0 — i.e. the vectors
+    are parallel OR antiparallel — the reference returns the identity
+    (generation.py:41-47); so do we (via an s^2 <= eps guard).
+    """
+    a = vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    b = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    v = jnp.cross(a, b)
+    c = jnp.sum(a * b, axis=-1)
+    s2 = jnp.sum(v * v, axis=-1)
+    kmat = _skew(v)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=vec.dtype), kmat.shape)
+    safe_s2 = jnp.where(s2 > 1e-12, s2, 1.0)
+    factor = ((1.0 - c) / safe_s2)[..., None, None]
+    rot = eye + kmat + jnp.matmul(kmat, kmat) * factor
+    return jnp.where((s2 > 1e-12)[..., None, None], rot, eye)
+
+
+def rotate_points(rot: jax.Array, pts: jax.Array) -> jax.Array:
+    """Apply [..., 3, 3] rotation to [..., K, 3] points: (R @ p^T)^T."""
+    return jnp.einsum("...ij,...kj->...ki", rot, pts)
+
+
+def point_triangle_closest(a: jax.Array, b: jax.Array, c: jax.Array,
+                           p: jax.Array) -> jax.Array:
+    """Closest point on triangle (a, b, c) to p; all [..., 3].
+
+    Branchless re-derivation of the classic Voronoi-region closest-point
+    algorithm that dense.cpp:135-174 implements, with the same region
+    ordering so results agree bit-for-bit up to float precision.
+    """
+    ab, ac, bc = b - a, c - a, c - b
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1)
+
+    snom, sdenom = dot(p - a, ab), dot(p - b, a - b)
+    tnom, tdenom = dot(p - a, ac), dot(p - c, a - c)
+    unom, udenom = dot(p - b, bc), dot(p - c, b - c)
+
+    n = jnp.cross(ab, ac)
+    vc = dot(n, jnp.cross(a - p, b - p))
+    va = dot(n, jnp.cross(b - p, c - p))
+    vb = dot(n, jnp.cross(c - p, a - p))
+
+    def safe_div(num, den):
+        return num / jnp.where(den == 0, 1.0, den)
+
+    on_ab = a + ab * safe_div(snom, snom + sdenom)[..., None]
+    on_bc = b + bc * safe_div(unom, unom + udenom)[..., None]
+    on_ca = a + ac * safe_div(tnom, tnom + tdenom)[..., None]
+    denom = va + vb + vc
+    u = safe_div(va, denom)[..., None]
+    v = safe_div(vb, denom)[..., None]
+    interior = a * u + b * v + c * (1.0 - u - v)
+
+    conds = [
+        (snom <= 0) & (tnom <= 0),                     # vertex a
+        (sdenom <= 0) & (unom <= 0),                   # vertex b
+        (tdenom <= 0) & (udenom <= 0),                 # vertex c
+        (vc <= 0) & (snom >= 0) & (sdenom >= 0),       # edge ab
+        (va <= 0) & (unom >= 0) & (udenom >= 0),       # edge bc
+        (vb <= 0) & (tnom >= 0) & (tdenom >= 0),       # edge ca
+    ]
+    outs = [jnp.broadcast_to(x, interior.shape)
+            for x in (a, b, c, on_ab, on_bc, on_ca)]
+    result = interior
+    # jnp.select evaluates first-match-wins, mirroring the early returns.
+    conds_b = [jnp.broadcast_to(cc[..., None], interior.shape) for cc in conds]
+    result = jnp.select(conds_b, outs, interior)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
+              chunk: int = 1024) -> tuple[jax.Array, jax.Array]:
+    """Memory-tiled kNN for large query sets (inference seed shells).
+
+    queries: [Q, C], refs: [N, C] -> (sqdist [Q, k], idx int32 [Q, k]).
+    Processes queries in ``chunk``-row tiles with a lax.map so peak memory
+    is chunk*N instead of Q*N. Q must not be huge relative to padding: the
+    query array is zero-padded up to a multiple of ``chunk`` and the pad
+    rows are discarded.
+    """
+    q = queries.shape[0]
+    k = min(k, refs.shape[0])
+    pad = (-q) % chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    tiles = qp.reshape(-1, chunk, queries.shape[-1])
+
+    def one(tile):
+        d = pairwise_sqdist(tile, refs)
+        neg, idx = jax.lax.top_k(-d, k)
+        return -neg, idx.astype(jnp.int32)
+
+    dists, idxs = jax.lax.map(one, tiles)
+    dists = dists.reshape(-1, k)[:q]
+    idxs = idxs.reshape(-1, k)[:q]
+    return dists, idxs

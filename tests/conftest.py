@@ -1,0 +1,26 @@
+"""Test config: force an 8-virtual-device CPU platform before jax imports.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh (the driver
+separately dry-runs the real multi-chip path via __graft_entry__).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The image pre-imports jax (sitecustomize) with JAX_PLATFORMS=axon; the
+# backend initialises lazily, so flipping the config here still lands before
+# any device is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
