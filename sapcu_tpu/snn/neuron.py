@@ -1,0 +1,148 @@
+"""Functional LIF / EIF neurons with learnable adaptive parameters.
+
+Pure ``(params, state, x) -> (spikes, state)`` cells mirroring the dynamics
+of the reference's ``MultiTimeConstantLIFNeuron`` (fn/snn_coder.py:87-133,
+fd/snn_coder.py:94-141) and ``MultiTimeConstantEIFNeuron``
+(fd/snn_coder.py:198-261):
+
+    x        <- x * (refractory <= 0)                  # refractory gating
+    V        <- V * decay * (1 - refractory) + x [+ exp-term for EIF]
+    spikes   <- STE(V - threshold)                     # surrogate gradient
+    V        <- V * (1 - spikes)                       # soft reset
+    refr     <- refr * refr_decay + spikes
+    thresh   <- thresh + adapt * spikes
+    thresh   <- base + (thresh - base) * 0.95          # decay toward base
+
+Per-channel learnable parameters live on the LAST axis (TPU lanes), so
+broadcasting against ``[..., C]`` activations is free — no expand_param
+reshuffling like the torch version needs for its channels-second layout.
+
+Parameter clamps (decay in [0.1, 0.99], adapt in [0.001, 0.1], refractory
+decay in [0.1, 0.95], EIF delta_T in [0.1, 5.0], theta_rh in [0.1, 2.0])
+are applied inside the cell exactly like the reference; the training loop
+additionally clamps the raw parameters after each optimizer step
+(trainfd.py:306-313 analog in sapcu_tpu.train.optim).
+
+Time-loop helpers:
+- ``multi_step``: the fn-style loop where the *spike output feeds back as
+  the next step's input* and state threads WITH gradients
+  (fn/snn_coder.py:319-335).
+- For the fd encoder's per-timestep detach (fd/snn_coder.py:438-442), use
+  ``detach_state`` between scan steps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sapcu_tpu.snn.surrogate import spike
+
+
+class NeuronState(NamedTuple):
+    membrane: jax.Array
+    threshold: jax.Array
+    refractory: jax.Array
+
+
+def lif_init(dim: int, membrane_decay_init: float = 0.9,
+             threshold_adapt_init: float = 0.01,
+             refractory_decay_init: float = 0.5,
+             dtype=jnp.float32) -> dict:
+    return {
+        "membrane_decay": jnp.full((dim,), membrane_decay_init, dtype),
+        "threshold_adapt": jnp.full((dim,), threshold_adapt_init, dtype),
+        "refractory_decay": jnp.full((dim,), refractory_decay_init, dtype),
+        "threshold_base": jnp.ones((dim,), dtype),
+    }
+
+
+def eif_init(dim: int, membrane_decay_init: float = 0.9,
+             threshold_adapt_init: float = 0.01,
+             refractory_decay_init: float = 0.5,
+             delta_t_init: float = 1.0, theta_rh_init: float = 0.8,
+             dtype=jnp.float32) -> dict:
+    p = lif_init(dim, membrane_decay_init, threshold_adapt_init,
+                 refractory_decay_init, dtype)
+    p["delta_t"] = jnp.full((dim,), delta_t_init, dtype)
+    p["theta_rh"] = jnp.full((dim,), theta_rh_init, dtype)
+    return p
+
+
+def init_state(params: dict, x: jax.Array) -> NeuronState:
+    """Fresh state for an input shaped [..., C]: V=0, thresh=base, refr=0."""
+    base = jnp.broadcast_to(params["threshold_base"], x.shape).astype(x.dtype)
+    return NeuronState(jnp.zeros_like(x), base, jnp.zeros_like(x))
+
+
+def detach_state(state: NeuronState) -> NeuronState:
+    """Per-timestep truncation (torch .detach() at fd/snn_coder.py:438-442)."""
+    return NeuronState(*[jax.lax.stop_gradient(s) for s in state])
+
+
+def _clamped(params: dict) -> dict:
+    c = {
+        "membrane_decay": jnp.clip(params["membrane_decay"], 0.1, 0.99),
+        "threshold_adapt": jnp.clip(params["threshold_adapt"], 0.001, 0.1),
+        "refractory_decay": jnp.clip(params["refractory_decay"], 0.1, 0.95),
+        "threshold_base": params["threshold_base"],
+    }
+    if "delta_t" in params:
+        c["delta_t"] = jnp.clip(params["delta_t"], 0.1, 5.0)
+        c["theta_rh"] = jnp.clip(params["theta_rh"], 0.1, 2.0)
+    return c
+
+
+def lif_step(params: dict, state: NeuronState, x: jax.Array, *,
+             training: bool, grad_width: float = 10.0
+             ) -> tuple[jax.Array, NeuronState]:
+    p = _clamped(params)
+    m, th, r = state
+    x = x * (r <= 0).astype(x.dtype)
+    m = m * p["membrane_decay"] * (1.0 - r) + x
+    s = spike(m - th, training=training, grad_width=grad_width)
+    m = m * (1.0 - s)
+    r = r * p["refractory_decay"] + s
+    th = th + p["threshold_adapt"] * s
+    th = p["threshold_base"] + (th - p["threshold_base"]) * 0.95
+    return s, NeuronState(m, th, r)
+
+
+def eif_step(params: dict, state: NeuronState, x: jax.Array, *,
+             training: bool, grad_width: float = 10.0
+             ) -> tuple[jax.Array, NeuronState]:
+    """EIF: adds delta_T * exp((V_prev - theta_rh)/delta_T) computed from the
+    PRE-update membrane (fd/snn_coder.py:244-252)."""
+    p = _clamped(params)
+    m, th, r = state
+    exp_arg = jnp.clip((m - p["theta_rh"]) / (p["delta_t"] + 1e-6), -5.0, 5.0)
+    exp_term = p["delta_t"] * jnp.exp(exp_arg)
+    x = x * (r <= 0).astype(x.dtype)
+    m = m * p["membrane_decay"] * (1.0 - r) + x + exp_term
+    s = spike(m - th, training=training, grad_width=grad_width)
+    m = m * (1.0 - s)
+    r = r * p["refractory_decay"] + s
+    th = th + p["threshold_adapt"] * s
+    th = p["threshold_base"] + (th - p["threshold_base"]) * 0.95
+    return s, NeuronState(m, th, r)
+
+
+def multi_step(params: dict, x: jax.Array, time_steps: int, *,
+               training: bool, grad_width: float = 10.0,
+               kind: str = "lif") -> jax.Array:
+    """fn-style iteration: ``for t in T: x, state = cell(x, state)``.
+
+    The spike output of step t is the INPUT of step t+1 and state threads
+    with gradients (fn/snn_coder.py:319-335). Returns the final spike map.
+    """
+    step = lif_step if kind == "lif" else eif_step
+
+    def body(carry, _):
+        xc, st = carry
+        s, st = step(params, st, xc, training=training, grad_width=grad_width)
+        return (s, st), None
+
+    (out, _), _ = jax.lax.scan(body, (x, init_state(params, x)), None,
+                               length=time_steps)
+    return out
