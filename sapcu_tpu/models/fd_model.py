@@ -1,0 +1,293 @@
+"""fd model: SNN-DGCNN distance estimation (TPU-native rebuild).
+
+Functional re-design of the reference ``EnhancedSNNDistanceEstimation``
+(fd/snn_coder.py:805-893) with encoder ``EnhancedTemporalSNN_DGCNN_fd``
+(fd/snn_coder.py:330-495) and ``StandardDistanceDecoder``
+(fd/snn_coder.py:667-798).
+
+Effective hyperparameters reproduced from config/fd.yaml + the model's
+hardcoded values (SURVEY.md §2.1 #6): k=32, emb_dims=768, T=7,
+k_scales=[8,16,32,48], heads=8, decoder hidden dims [256,128,64] (the
+constructor hardcodes these regardless of YAML — fd/snn_coder.py:845-851),
+Softplus(beta=5) output head.
+
+TPU-first design decisions:
+- channels-last layout; every 1x1 conv is a dense matmul on the MXU
+- the temporal loop is a single ``lax.scan`` over T; SNN states are
+  stop-gradient'ed between timesteps exactly like the reference's
+  per-timestep ``.detach()`` (fd/snn_coder.py:438-442)
+- block 0 (multi-scale edge conv over the raw input) is t-invariant, so it
+  is hoisted OUT of the time loop and computed once — numerically identical
+  activations; its BatchNorm running stats update once per forward instead
+  of T times (documented divergence, training-mode normalisation identical)
+- BN running stats of the in-loop convs thread through the scan carry, so
+  they update T times per forward exactly like the torch modules do
+- the final ``snn_fc`` LIF state optionally carries across forwards (the
+  only cross-batch state in the reference, fd/snn_coder.py:485-490);
+  pass ``carry=None`` for the reset behaviour used at every train step
+  (fd/trainer.py:29-31) and inference chunk (generation.py:163-165).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from sapcu_tpu import nn as fnn
+from sapcu_tpu import ops, snn
+
+Pytree = Any
+
+
+def _keys(key, n):
+    return list(jax.random.split(key, n))
+
+
+def init_fd_model(key, k: int = 32, emb_dims: int = 768, time_steps: int = 7,
+                  k_scales=(8, 16, 32, 48), num_heads: int = 8,
+                  dropout: float = 0.1, eif_delta_t: float = 1.0,
+                  eif_theta_rh: float = 0.8) -> tuple[Pytree, Pytree, dict]:
+    """Build (params, state, config) pytrees for the fd model."""
+    k_scales = tuple(k_scales)
+    cfg = dict(k=k, emb_dims=emb_dims, time_steps=time_steps,
+               k_scales=k_scales, num_heads=num_heads, dropout=dropout)
+    params: dict = {"enc": {}, "dec": {}}
+    state: dict = {"enc": {}, "dec": {}}
+    enc_p, enc_s = params["enc"], state["enc"]
+
+    ks = iter(_keys(key, 64))
+
+    # ---- encoder -------------------------------------------------------
+    # multi-scale first block: Conv2d(6->64) + BN per scale (fd:344-350)
+    enc_p["ms_conv"], enc_s["ms_conv"] = [], []
+    for _ in k_scales:
+        p = {"fc": fnn.dense_init(next(ks), 6, 64, use_bias=False)}
+        p["bn"], s = fnn.bn_init(64)
+        enc_p["ms_conv"].append(p)
+        enc_s["ms_conv"].append({"bn": s})
+    enc_p["scale_fusion"] = {"fc": fnn.dense_init(next(ks), 64 * len(k_scales), 64, use_bias=False)}
+    enc_p["scale_fusion"]["bn"], enc_s["scale_fusion_bn"] = fnn.bn_init(64)
+
+    # SNN blocks: EIF(64), EIF(128), LIF(256), LIF(512) (fd:358-378)
+    enc_p["snn"] = [
+        snn.eif_init(64, delta_t_init=eif_delta_t, theta_rh_init=eif_theta_rh),
+        snn.eif_init(128, delta_t_init=eif_delta_t, theta_rh_init=eif_theta_rh),
+        snn.lif_init(256),
+        snn.lif_init(512),
+    ]
+    # edge convs for blocks 1-3: Conv2d(2*C_in -> C_out) + BN (fd:361-378)
+    dims = [(64, 128), (128, 256), (256, 512)]
+    enc_p["conv"], enc_s["conv_bn"] = [], []
+    for cin, cout in dims:
+        p = {"fc": fnn.dense_init(next(ks), 2 * cin, cout, use_bias=False)}
+        p["bn"], s = fnn.bn_init(cout)
+        enc_p["conv"].append(p)
+        enc_s["conv_bn"].append(s)
+
+    # multi-scale concat fuse: Conv1d(960 -> emb) + BN (fd:381-385)
+    enc_p["ms_fuse"] = {"fc": fnn.dense_init(next(ks), 64 + 128 + 256 + 512, emb_dims, use_bias=False)}
+    enc_p["ms_fuse"]["bn"], enc_s["ms_fuse_bn"] = fnn.bn_init(emb_dims)
+
+    enc_p["snn_fc"] = snn.lif_init(emb_dims)
+    enc_p["temporal_w"] = jnp.ones((time_steps,), jnp.float32)
+
+    # ---- decoder (StandardDistanceDecoder, fd:667-729) ------------------
+    dec_p, dec_s = params["dec"], state["dec"]
+    hidden = [256, 128, 64]
+    dec_p["fc_in"] = {"fc": fnn.dense_init(next(ks), emb_dims, hidden[0])}
+    dec_p["fc_in"]["bn"], dec_s["fc_in_bn"] = fnn.bn_init(hidden[0])
+
+    dec_p["res"], dec_s["res_bn"] = [], []
+    for cin, cout in zip(hidden[:-1], hidden[1:]):
+        blk = {
+            "fc1": fnn.dense_init(next(ks), cin, cout),
+            "fc2": fnn.dense_init(next(ks), cout, cout),
+        }
+        blk["bn1"], s1 = fnn.bn_init(cout)
+        blk["bn2"], s2 = fnn.bn_init(cout)
+        if cin != cout:
+            blk["res_proj"] = fnn.dense_init(next(ks), cin, cout)
+        dec_p["res"].append(blk)
+        dec_s["res_bn"].append({"bn1": s1, "bn2": s2})
+
+    d = hidden[-1]
+    dec_p["attn"] = {
+        "to_qkv": fnn.dense_init(next(ks), d, 3 * d),
+        "to_out": fnn.dense_init(next(ks), d, d),
+        "ln": fnn.layer_norm_init(d),
+    }
+    dec_p["fc_hidden"] = {"fc": fnn.dense_init(next(ks), d, 32)}
+    dec_p["fc_hidden"]["bn"], dec_s["fc_hidden_bn"] = fnn.bn_init(32)
+    dec_p["fc_distance"] = fnn.dense_init(next(ks), 32, 1)
+    return params, state, cfg
+
+
+def _edge_block(p, bn_state, x, k, *, training):
+    """graph-feature -> 1x1 conv -> BN -> LeakyReLU -> max over k."""
+    g = ops.graph_feature(x, k=k)                       # [B, M, k, 2C]
+    h = fnn.dense(p["fc"], g)
+    h, bn_state = fnn.bn_apply(p["bn"], bn_state, h, training=training)
+    h = fnn.leaky_relu(h, 0.2)
+    return jnp.max(h, axis=-2), bn_state                 # [B, M, C_out]
+
+
+def fd_encoder_apply(params, state, x, cfg, *, training: bool,
+                     carry: snn.NeuronState | None = None):
+    """x: [B, M, 3] patches -> (features [B, emb], new_state, new_carry)."""
+    enc_p, enc_s = params["enc"], state["enc"]
+    m = x.shape[-2]
+    new_state = {"enc": dict(enc_s), "dec": state["dec"]}
+
+    # --- hoisted t-invariant block 0 (multi-scale edge convs, fd:411-421)
+    scale_feats, ms_states = [], []
+    for p, s, kk in zip(enc_p["ms_conv"], enc_s["ms_conv"], cfg["k_scales"]):
+        f, bn = _edge_block(p, s["bn"], x, min(kk, m), training=training)
+        scale_feats.append(f)
+        ms_states.append({"bn": bn})
+    new_state["enc"]["ms_conv"] = ms_states
+    fused = jnp.concatenate(scale_feats, axis=-1)
+    fused = fnn.dense(enc_p["scale_fusion"]["fc"], fused)
+    fused, new_state["enc"]["scale_fusion_bn"] = fnn.bn_apply(
+        enc_p["scale_fusion"]["bn"], enc_s["scale_fusion_bn"], fused,
+        training=training)
+    x_conv0 = fnn.leaky_relu(fused, 0.2)                  # [B, M, 64]
+
+    # --- temporal scan over T (fd:408-480)
+    snn_steps = [snn.eif_step, snn.eif_step, snn.lif_step, snn.lif_step]
+    b = x.shape[0]
+    init_states = [
+        snn.init_state(enc_p["snn"][0], x_conv0),
+        snn.init_state(enc_p["snn"][1], jnp.zeros((b, m, 128), x.dtype)),
+        snn.init_state(enc_p["snn"][2], jnp.zeros((b, m, 256), x.dtype)),
+        snn.init_state(enc_p["snn"][3], jnp.zeros((b, m, 512), x.dtype)),
+    ]
+    init_bn = [enc_s["conv_bn"][i] for i in range(3)] + [enc_s["ms_fuse_bn"]]
+
+    def t_body(carry_t, _):
+        states, bns = carry_t
+        s0, st0 = snn_steps[0](enc_p["snn"][0], states[0], x_conv0,
+                               training=training)
+        new_states = [snn.detach_state(st0)]
+        feats, cur = [s0], s0
+        new_bns = []
+        for i in range(3):
+            h, bn_i = _edge_block(enc_p["conv"][i], bns[i], cur,
+                                  min(cfg["k"], m), training=training)
+            si, sti = snn_steps[i + 1](enc_p["snn"][i + 1], states[i + 1], h,
+                                       training=training)
+            new_states.append(snn.detach_state(sti))
+            new_bns.append(bn_i)
+            feats.append(si)
+            cur = si
+        cat = jnp.concatenate(feats, axis=-1)             # [B, M, 960]
+        agg = fnn.dense(enc_p["ms_fuse"]["fc"], cat)
+        agg, bn_f = fnn.bn_apply(enc_p["ms_fuse"]["bn"], bns[3], agg,
+                                 training=training)
+        agg = fnn.leaky_relu(agg, 0.2)
+        pooled = jnp.max(agg, axis=-2)                    # [B, emb]
+        new_bns.append(bn_f)
+        return (new_states, new_bns), pooled
+
+    (final_states, final_bns), pooled_t = jax.lax.scan(
+        t_body, (init_states, init_bn), None, length=cfg["time_steps"])
+    del final_states
+    new_state["enc"]["conv_bn"] = final_bns[:3]
+    new_state["enc"]["ms_fuse_bn"] = final_bns[3]
+
+    # --- temporal integration (fd:320-328) + persistent snn_fc (fd:485-490)
+    w = jax.nn.softmax(enc_p["temporal_w"])
+    feat = jnp.einsum("t,tbe->be", w, pooled_t)
+    if carry is None:
+        carry = snn.init_state(enc_p["snn_fc"], feat)
+    else:
+        carry = snn.detach_state(carry)
+    out, new_carry = snn.lif_step(enc_p["snn_fc"], carry, feat,
+                                  training=training)
+    return out, new_state, new_carry
+
+
+def fd_decoder_apply(params, state, x, cfg, *, training: bool, rng=None):
+    """StandardDistanceDecoder: [B, emb] -> non-negative distances [B]."""
+    dec_p, dec_s = params["dec"], state["dec"]
+    new_dec = dict(dec_s)
+    rngs = iter(jax.random.split(rng, 8)) if rng is not None else iter([None] * 8)
+
+    h = fnn.dense(dec_p["fc_in"]["fc"], x)
+    h, new_dec["fc_in_bn"] = fnn.bn_apply(dec_p["fc_in"]["bn"], dec_s["fc_in_bn"],
+                                          h, training=training)
+    h = fnn.gelu(h)
+
+    res_bns = []
+    for blk, bns in zip(dec_p["res"], dec_s["res_bn"]):
+        residual = h
+        y = fnn.dense(blk["fc1"], h)
+        y, b1 = fnn.bn_apply(blk["bn1"], bns["bn1"], y, training=training)
+        y = fnn.gelu(y)
+        y = fnn.dropout(next(rngs), y, cfg["dropout"], training)
+        y = fnn.dense(blk["fc2"], y)
+        y, b2 = fnn.bn_apply(blk["bn2"], bns["bn2"], y, training=training)
+        if "res_proj" in blk:
+            residual = fnn.dense(blk["res_proj"], residual)
+        h = fnn.gelu(y + residual)
+        res_bns.append({"bn1": b1, "bn2": b2})
+    new_dec["res_bn"] = res_bns
+
+    # single-token self-attention with softmax over heads (fd:777-798)
+    ap = dec_p["attn"]
+    bdim = h.shape[0]
+    d = h.shape[-1]
+    heads = cfg["num_heads"]
+    hd = d // heads
+    residual = h
+    qkv = fnn.dense(ap["to_qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bdim, heads, hd)
+    k = k.reshape(bdim, heads, hd)
+    v = v.reshape(bdim, heads, hd)
+    attn = jnp.einsum("bhd,bhd->bh", q, k) * (hd ** -0.5)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bh,bhd->bhd", attn, v).reshape(bdim, d)
+    out = fnn.dense(ap["to_out"], out)
+    out = fnn.dropout(next(rngs), out, cfg["dropout"], training)
+    h = fnn.layer_norm(ap["ln"], out + residual)
+
+    h = fnn.dense(dec_p["fc_hidden"]["fc"], h)
+    h, new_dec["fc_hidden_bn"] = fnn.bn_apply(
+        dec_p["fc_hidden"]["bn"], dec_s["fc_hidden_bn"], h, training=training)
+    h = fnn.gelu(h)
+    h = fnn.dropout(next(rngs), h, cfg["dropout"], training)
+    dist = fnn.dense(dec_p["fc_distance"], h)
+    # Softplus(beta=5): the critical ReLU->Softplus fix (fd:707-709)
+    dist = fnn.softplus_beta(dist, 5.0)
+    return dist[..., 0], {"enc": state["enc"], "dec": new_dec}
+
+
+def fd_apply(params, state, x, cfg, *, training: bool, rng=None,
+             carry: snn.NeuronState | None = None):
+    """Full fd forward.
+
+    x: [B, N, M, 3] (patch batch; flattened like fd/snn_coder.py:853-863)
+       or [B, M, 3].
+    Returns (distances [B, N] or [B], new_state, new_carry).
+    """
+    if x.ndim == 4:
+        b, n, m, _ = x.shape
+        flat = x.reshape(b * n, m, 3)
+    else:
+        flat = x
+    feat, new_state, new_carry = fd_encoder_apply(params, state, flat, cfg,
+                                                  training=training, carry=carry)
+    dist, new_state = fd_decoder_apply(params, new_state, feat, cfg,
+                                       training=training, rng=rng)
+    if x.ndim == 4:
+        dist = dist.reshape(b, n)
+    return dist, new_state, new_carry
+
+
+def fd_loss(pred: jax.Array, gt: jax.Array, beta: float = 0.1) -> jax.Array:
+    """smooth_l1_loss(beta=0.1) (fd/snn_coder.py:800-803)."""
+    diff = jnp.abs(pred - gt)
+    return jnp.mean(jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                              diff - 0.5 * beta))

@@ -1,0 +1,290 @@
+"""fn model: SNN point-transformer normal estimation (TPU-native rebuild).
+
+Functional re-design of the reference ``ImprovedSNNNormalEstimation``
+(fn/snn_coder.py:627-738): ``ImprovedSNNEncoder`` (fn:405-476) with three
+``MultiHeadSNNTransformerBlock``s (fn:212-400) and ``StandardNormalDecoder``
+(fn:517-553).
+
+Effective hyperparameters from config/fn.yaml + hardcoded values
+(SURVEY.md §2.1 #4): k_values=[24,18,12], emb_dims=640, T_enc=6, heads=8,
+per-block time_steps=4 (hardcoded at fn:417-419), block d_models
+128/256/512, fc_out -> 2048, decoder hidden dims [1024,512,256] (hardcoded,
+YAML's decoder_hidden_dims ignored — fn/config.py:183-231).
+
+TPU-first notes:
+- channels-last; every projection is an MXU matmul
+- each "SNN branch" (fc1/Q/K/V/delta/gamma) is a 4-step ``snn.multi_step``
+  scan where spikes feed back as input (fn:319-335) — no detach inside a
+  forward
+- kNN indices are computed fresh per forward. The reference's ``KNNCache``
+  returns stale indices for same-shape batches (fn/snn_coder.py:41-59);
+  recomputing is the correct behaviour and is a documented divergence.
+- vector attention: softmax over the k-neighbour axis of
+  (q - k_gathered + pos_enc) per head (fn:367-389)
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from sapcu_tpu import nn as fnn
+from sapcu_tpu import ops, snn
+
+Pytree = Any
+_BLOCK_T = 4  # hardcoded per-block time steps (fn/snn_coder.py:417-419)
+
+
+def _fc_bn(key, cin, cout):
+    p = {"fc": fnn.dense_init(key, cin, cout)}
+    p["bn"], s = fnn.bn_init(cout)
+    return p, s
+
+
+def _init_block(key, d_points, d_model):
+    ks = iter(jax.random.split(key, 16))
+    p, s = {}, {}
+    for name, cin, cout in [
+        ("fc1", d_points, d_model), ("w_qs", d_model, d_model),
+        ("w_ks", d_model, d_model), ("w_vs", d_model, d_model),
+        ("fc_delta", 3, d_model), ("fc_delta2", d_model, d_model),
+        ("fc_gamma", d_model, d_model), ("fc_gamma2", d_model, d_model),
+        ("out_proj", d_model, d_model), ("fc2", d_model, d_points),
+    ]:
+        p[name], s[name + "_bn"] = _fc_bn(next(ks), cin, cout)
+    for name, dim in [("snn1", d_model), ("snn_q", d_model), ("snn_k", d_model),
+                      ("snn_v", d_model), ("snn_delta", d_model),
+                      ("snn_gamma", d_model)]:
+        p[name] = snn.lif_init(dim)
+    p["snn_delta2"] = snn.lif_init(d_model)
+    return p, s
+
+
+def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
+                  time_steps_enc: int = 6, num_heads: int = 8,
+                  dropout: float = 0.1, decoder_dropout: float = 0.1
+                  ) -> tuple[Pytree, Pytree, dict]:
+    """Build (params, state, config) for the fn model."""
+    cfg = dict(k_values=tuple(k_values), emb_dims=emb_dims,
+               time_steps_enc=time_steps_enc, num_heads=num_heads,
+               dropout=dropout, decoder_dropout=decoder_dropout,
+               d_models=(128, 256, 512))
+    ks = iter(jax.random.split(key, 16))
+    params: dict = {"enc": {}, "dec": {}}
+    state: dict = {"enc": {}, "dec": {}}
+    enc_p, enc_s = params["enc"], state["enc"]
+
+    enc_p["conv1"], enc_s["conv1_bn"] = _fc_bn(next(ks), 3, 64)
+    enc_p["snn_init"] = snn.lif_init(64)
+    enc_p["blocks"], enc_s["blocks"] = [], []
+    for d_model in cfg["d_models"]:
+        bp, bs = _init_block(next(ks), 64, d_model)
+        enc_p["blocks"].append(bp)
+        enc_s["blocks"].append(bs)
+    enc_p["conv_final"], enc_s["conv_final_bn"] = _fc_bn(next(ks), 64 * 3, emb_dims)
+    enc_p["snn_final"] = snn.lif_init(emb_dims)
+    enc_p["fc_out"] = fnn.dense_init(next(ks), emb_dims, 2048)
+
+    # StandardNormalDecoder: [1024, 512, 256] hardcoded (fn:523-540)
+    dec_p, dec_s = params["dec"], state["dec"]
+    hidden = [1024, 512, 256]
+    dec_p["mlp"], dec_s["mlp_bn"] = [], []
+    cin = 2048
+    for h in hidden:
+        p, s = _fc_bn(next(ks), cin, h)
+        dec_p["mlp"].append(p)
+        dec_s["mlp_bn"].append(s)
+        cin = h
+    dec_p["fc_out"] = fnn.dense_init(next(ks), hidden[-1], 3)
+    dec_p["norm_out"] = fnn.layer_norm_init(3)
+    return params, state, cfg
+
+
+def _apply_fc_bn(p, s, x, *, training):
+    y = fnn.dense(p["fc"], x)
+    return fnn.bn_apply(p["bn"], s, y, training=training)
+
+
+def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng):
+    """One MultiHeadSNNTransformerBlock (fn/snn_coder.py:294-396).
+
+    xyz: [B, N, 3]; features: [B, N, 64] -> ([B, N, 64], new_state).
+    """
+    b, n, _ = xyz.shape
+    k_actual = min(k, n)
+    d_model = p["fc1"]["fc"]["kernel"].shape[1]
+    hd = d_model // num_heads
+    new_s = {}
+
+    idx = ops.knn(xyz, k_actual)                              # [B, N, k]
+    knn_xyz = ops.index_points(xyz, idx)
+    pos_diff = xyz[:, :, None, :] - knn_xyz                    # [B, N, k, 3]
+
+    pre = features
+    x, new_s["fc1_bn"] = _apply_fc_bn(p["fc1"], s["fc1_bn"], features,
+                                      training=training)
+    x = snn.multi_step(p["snn1"], x, _BLOCK_T, training=training)
+
+    q, new_s["w_qs_bn"] = _apply_fc_bn(p["w_qs"], s["w_qs_bn"], x, training=training)
+    q = snn.multi_step(p["snn_q"], q, _BLOCK_T, training=training)
+    kf, new_s["w_ks_bn"] = _apply_fc_bn(p["w_ks"], s["w_ks_bn"], x, training=training)
+    kf = snn.multi_step(p["snn_k"], kf, _BLOCK_T, training=training)
+    v, new_s["w_vs_bn"] = _apply_fc_bn(p["w_vs"], s["w_vs_bn"], x, training=training)
+    v = snn.multi_step(p["snn_v"], v, _BLOCK_T, training=training)
+
+    k_g = ops.index_points(kf, idx)                            # [B, N, k, C]
+    v_g = ops.index_points(v, idx)
+
+    pos_enc, new_s["fc_delta_bn"] = _apply_fc_bn(p["fc_delta"], s["fc_delta_bn"],
+                                                 pos_diff, training=training)
+    pos_enc = snn.multi_step(p["snn_delta"], pos_enc, _BLOCK_T, training=training)
+    pos_enc, new_s["fc_delta2_bn"] = _apply_fc_bn(p["fc_delta2"], s["fc_delta2_bn"],
+                                                  pos_enc, training=training)
+    pos_enc = snn.multi_step(p["snn_delta2"], pos_enc, _BLOCK_T, training=training)
+
+    attn_in = q[:, :, None, :] - k_g + pos_enc                 # [B, N, k, C]
+    attn, new_s["fc_gamma_bn"] = _apply_fc_bn(p["fc_gamma"], s["fc_gamma_bn"],
+                                              attn_in, training=training)
+    attn = snn.multi_step(p["snn_gamma"], attn, _BLOCK_T, training=training)
+    attn, new_s["fc_gamma2_bn"] = _apply_fc_bn(p["fc_gamma2"], s["fc_gamma2_bn"],
+                                               attn, training=training)
+
+    attn = attn.reshape(b, n, k_actual, num_heads, hd)
+    attn = jax.nn.softmax(attn / (hd ** 0.5), axis=2)          # over neighbours
+    attn = fnn.dropout(rng, attn, dropout, training)
+
+    v_with_pos = (v_g + pos_enc).reshape(b, n, k_actual, num_heads, hd)
+    res = jnp.einsum("bnkhd,bnkhd->bnhd", attn, v_with_pos)
+    res = res.reshape(b, n, d_model)
+
+    res, new_s["out_proj_bn"] = _apply_fc_bn(p["out_proj"], s["out_proj_bn"],
+                                             res, training=training)
+    res, new_s["fc2_bn"] = _apply_fc_bn(p["fc2"], s["fc2_bn"], res,
+                                        training=training)
+    return res + pre, new_s
+
+
+def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
+    """x: [B, M, 3] patch -> (features [B, 2048], new_enc_state)."""
+    enc_p, enc_s = params["enc"], state["enc"]
+    new_s = {}
+    t = cfg["time_steps_enc"]
+
+    feats, new_s["conv1_bn"] = _apply_fc_bn(enc_p["conv1"], enc_s["conv1_bn"],
+                                            x, training=training)
+    feats = snn.multi_step(enc_p["snn_init"], feats, t, training=training)
+
+    rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
+    block_feats, block_states = [], []
+    cur = feats
+    for bp, bs, k, r in zip(enc_p["blocks"], enc_s["blocks"], cfg["k_values"], rngs):
+        cur, nbs = _block_apply(bp, bs, x, cur, k, cfg["num_heads"],
+                                cfg["dropout"], training=training, rng=r)
+        block_feats.append(cur)
+        block_states.append(nbs)
+    new_s["blocks"] = block_states
+
+    ms = jnp.concatenate(block_feats, axis=-1)                 # [B, M, 192]
+    g, new_s["conv_final_bn"] = _apply_fc_bn(enc_p["conv_final"],
+                                             enc_s["conv_final_bn"], ms,
+                                             training=training)
+    g = snn.multi_step(enc_p["snn_final"], g, t, training=training)
+    g = jnp.max(g, axis=-2)                                    # [B, emb]
+    return fnn.dense(enc_p["fc_out"], g), new_s
+
+
+def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None):
+    """StandardNormalDecoder: [B, 2048] -> unit normals [B, 3]."""
+    dec_p, dec_s = params["dec"], state["dec"]
+    rngs = iter(jax.random.split(rng, 4)) if rng is not None else iter([None] * 4)
+    new_bns = []
+    h = x
+    for p, s in zip(dec_p["mlp"], dec_s["mlp_bn"]):
+        h, nb = _apply_fc_bn(p, s, h, training=training)
+        h = fnn.gelu(h)
+        h = fnn.dropout(next(rngs), h, cfg["decoder_dropout"], training)
+        new_bns.append(nb)
+    h = fnn.dense(dec_p["fc_out"], h)
+    h = fnn.layer_norm(dec_p["norm_out"], h)
+    return fnn.l2_normalize(h), {"mlp_bn": new_bns}
+
+
+def fn_apply(params, state, x, cfg, *, training: bool, rng=None):
+    """Full fn forward.
+
+    x: [B, N, M, 3] patch batch (flattened like fn/snn_coder.py:681-694)
+       or [B, M, 3].
+    Returns (unit normals [B, N, 3] or [B, 3], new_state).
+    """
+    if x.ndim == 4:
+        b, n, m, _ = x.shape
+        flat = x.reshape(b * n, m, 3)
+    else:
+        flat = x
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    feat, new_enc = fn_encoder_apply(params, state, flat, cfg,
+                                     training=training, rng=enc_rng)
+    normals, new_dec = fn_decoder_apply(params, state, feat, cfg,
+                                        training=training, rng=dec_rng)
+    if x.ndim == 4:
+        normals = normals.reshape(b, n, 3)
+    return normals, {"enc": new_enc, "dec": new_dec}
+
+
+# ------------------------------------------------------------------ losses
+def _cosine_similarity(a, b, eps=1e-8):
+    """torch F.cosine_similarity semantics."""
+    dot = jnp.sum(a * b, axis=-1)
+    na = jnp.linalg.norm(a, axis=-1)
+    nb = jnp.linalg.norm(b, axis=-1)
+    return dot / jnp.maximum(na * nb, eps)
+
+
+def normal_consistency_loss(pred_normals, xyz, k: int = 8,
+                            weight: float = 0.1) -> jax.Array:
+    """Neighbouring points should share normals (fn/snn_coder.py:557-584)."""
+    b, n, _ = xyz.shape
+    k = min(k, n - 1)
+    dists = ops.pairwise_sqdist(xyz, xyz)
+    idx = jnp.argsort(dists, axis=-1)[:, :, 1:k + 1]
+    pred = pred_normals.reshape(b, n, 3)
+    neighbor = ops.index_points(pred, idx.astype(jnp.int32))   # [B, N, k, 3]
+    cos = _cosine_similarity(pred[:, :, None, :], neighbor)
+    return weight * jnp.mean(1.0 - cos)
+
+
+def fn_loss(pred_normals, gt_normals, xyz=None, temperature: float = 0.1,
+            alpha: float = 0.1, consistency_weight: float = 0.15,
+            k_neighbors: int = 8):
+    """Angular loss with confidence weighting + consistency
+    (fn/snn_coder.py:588-624). Effective constants are the call-site
+    defaults (temperature 0.1, alpha 0.1, cw 0.15, k 8) — the YAML loss
+    block is never plumbed through (SURVEY.md §2.1 #13).
+
+    xyz: [B, N, 3] patch centers or [B, N, M, 3] patches (mean-reduced,
+    fn/snn_coder.py:709-711). Returns (loss, confidence_mean).
+    """
+    pred = pred_normals.reshape(-1, 3)
+    gt = gt_normals.reshape(-1, 3)
+    cos = _cosine_similarity(pred, gt)
+    ang = jnp.arccos(jnp.clip(cos, -1 + 1e-6, 1 - 1e-6))
+    conf = jax.nn.sigmoid(jax.lax.stop_gradient(ang) / temperature)
+    base = jnp.mean(ang * conf + alpha * (conf - 0.5) ** 2)
+    if xyz is not None and consistency_weight > 0:
+        if xyz.ndim == 4:
+            xyz = jnp.mean(xyz, axis=2)
+        base = base + normal_consistency_loss(pred_normals, xyz,
+                                              k=k_neighbors,
+                                              weight=consistency_weight)
+    return base, jnp.mean(conf)
+
+
+def angular_error_deg(pred, gt):
+    """Mean angular error in degrees (fn/trainer.py:268-278)."""
+    pred = fnn.l2_normalize(pred.reshape(-1, 3))
+    gt = fnn.l2_normalize(gt.reshape(-1, 3))
+    cos = jnp.clip(_cosine_similarity(pred, gt), -1 + 1e-6, 1 - 1e-6)
+    return jnp.degrees(jnp.mean(jnp.arccos(cos)))

@@ -1,0 +1,161 @@
+"""Seed-shell generation: the TPU-native replacement for ``dense.cpp``.
+
+The reference generates upsampling seed points with a C++ program invoked
+as a subprocess from the inference hot path (generation.py:114-117):
+a voxel-grid BFS flood-fill from the input points where each visited voxel
+center gets a "distance to approximate surface" and voxels whose distance
+falls in the band [0.0110, 0.0150] are emitted (dense.cpp:175-252).
+
+The distance of a voxel center c (dense.cpp:214-225):
+  - find the 10 nearest input points (kd-tree max-heap pops them
+    farthest-first: pt[0] = 10th-nearest ... pt[9] = nearest)
+  - approximate the local surface with 8 triangles
+    (pt[i], pt[8], pt[9]) for i in 0..7, i.e. (j-th-nearest for j=3..10,
+    2nd-nearest, nearest)
+  - distance = min point-to-triangle distance over those 8 triangles
+
+BFS semantics (dense.cpp:195-247): start from the voxels containing input
+points; expand 6-connected; a voxel only expands further if its distance
+<= band_hi, so the visited set is the connected <=band_hi shell plus one
+boundary layer; emit visited voxels with band_lo <= dist <= band_hi.
+
+TPU-native redesign — instead of a pointer-chasing BFS with a hash map we
+use dense, static-shaped ops:
+1. compute the surface distance for EVERY voxel of the bounded grid
+   (boxsize = round(1/cell), centers at k*cell + cell/2 - 0.5, matching
+   dense.cpp:186,211-213) with a memory-tiled 10-NN + 8-triangle kernel —
+   a few large MXU matmuls;
+2. reach = fixpoint of ``reach | dilate6(reach & (dist <= band_hi))``
+   seeded from the input-point voxels — a masked-dilation while_loop that
+   is exactly the BFS closure;
+3. emit ``reach & (band_lo <= dist <= band_hi)``.
+
+Documented divergences from dense.cpp (SURVEY.md §7 quirk ledger):
+- input coordinates exactly on the +0.5 boundary are clamped into the
+  grid (dense.cpp silently indexes out of its array: UB);
+- BFS neighbour ids at grid edges don't wrap into adjacent rows (the C++
+  linear-id arithmetic wraps, visiting garbage voxels);
+- no 5000-point input cap (dense.cpp:64 overflows beyond it).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sapcu_tpu.ops.pointops import pairwise_sqdist, point_triangle_closest
+
+BAND_LO = 0.0110
+BAND_HI = 0.0150
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def surface_distance(centers: jax.Array, points: jax.Array,
+                     chunk: int = 8192) -> jax.Array:
+    """Distance from each center to the 8-triangle local surface approx.
+
+    centers: [C, 3], points: [N, 3] (N >= 10) -> [C] float32.
+    Tiled over centers so peak memory is chunk*N.
+    """
+    c = centers.shape[0]
+    pad = (-c) % chunk
+    cp = jnp.pad(centers, ((0, pad), (0, 0)))
+    tiles = cp.reshape(-1, chunk, 3)
+
+    def one(tile):
+        d = pairwise_sqdist(tile, points)
+        _, idx = jax.lax.top_k(-d, 10)               # nearest-first
+        nn = points[idx]                              # [chunk, 10, 3]
+        nearest = nn[:, 0:1, :]                       # pt[9]
+        second = nn[:, 1:2, :]                        # pt[8]
+        others = nn[:, 2:10, :]                       # pt[0..7] (far-first order
+        #                                               irrelevant: min over all)
+        cpnt = point_triangle_closest(
+            others,                                   # a = pt[i]
+            jnp.broadcast_to(second, others.shape),   # b = pt[8]
+            jnp.broadcast_to(nearest, others.shape),  # c = pt[9]
+            tile[:, None, :])
+        dist = jnp.linalg.norm(cpnt - tile[:, None, :], axis=-1)
+        return jnp.min(dist, axis=-1)
+
+    out = jax.lax.map(one, tiles).reshape(-1)
+    return out[:c]
+
+
+def _dilate6(mask: jax.Array) -> jax.Array:
+    """6-connected dilation of a [X, Y, Z] boolean grid (no wraparound)."""
+    m = mask
+    out = mask
+    zero = jnp.zeros_like(m[:1])
+    out = out | jnp.concatenate([m[1:], zero], axis=0)
+    out = out | jnp.concatenate([zero, m[:-1]], axis=0)
+    zero = jnp.zeros_like(m[:, :1])
+    out = out | jnp.concatenate([m[:, 1:], zero], axis=1)
+    out = out | jnp.concatenate([zero, m[:, :-1]], axis=1)
+    zero = jnp.zeros_like(m[:, :, :1])
+    out = out | jnp.concatenate([m[:, :, 1:], zero], axis=2)
+    out = out | jnp.concatenate([zero, m[:, :, :-1]], axis=2)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize",))
+def _bfs_closure(seed_mask: jax.Array, expandable: jax.Array,
+                 boxsize: int) -> jax.Array:
+    """Fixpoint of reach = reach | dilate6(reach & expandable)."""
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        reach, _ = carry
+        new = reach
+        for _ in range(4):  # a few dilations per convergence check
+            new = new | _dilate6(new & expandable)
+        return new, jnp.any(new != reach)
+
+    reach, _ = jax.lax.while_loop(cond, body, (seed_mask, jnp.asarray(True)))
+    return reach
+
+
+def voxel_centers(boxsize: int, cell: float) -> jax.Array:
+    """Grid of voxel centers k*cell + cell/2 - 0.5 (dense.cpp:211-213)."""
+    axis = jnp.arange(boxsize, dtype=jnp.float32) * cell + 0.5 * cell - 0.5
+    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize", "chunk"))
+def seed_mask(points: jax.Array, boxsize: int, cell: float,
+              band_lo: float = BAND_LO, band_hi: float = BAND_HI,
+              chunk: int = 8192) -> jax.Array:
+    """Full on-device seed computation -> boolean [bs, bs, bs] emit mask."""
+    centers = voxel_centers(boxsize, cell)
+    dist = surface_distance(centers, points, chunk=chunk)
+    dist = dist.reshape(boxsize, boxsize, boxsize)
+
+    vox = jnp.clip(jnp.floor((points + 0.5) / cell).astype(jnp.int32),
+                   0, boxsize - 1)
+    seed = jnp.zeros((boxsize, boxsize, boxsize), bool)
+    seed = seed.at[vox[:, 0], vox[:, 1], vox[:, 2]].set(True)
+
+    reach = _bfs_closure(seed, dist <= band_hi, boxsize)
+    return reach & (dist >= band_lo) & (dist <= band_hi)
+
+
+def generate_seeds(points: np.ndarray, cell: float = 0.004,
+                   band_lo: float = BAND_LO, band_hi: float = BAND_HI,
+                   chunk: int = 8192) -> np.ndarray:
+    """Host entry point: [N, 3] normalized cloud -> [S, 3] seed centers.
+
+    Replaces ``os.system(f"./dense {cell} {N}")`` + target.xyz round-trip
+    (generation.py:114-117). The device computes the full mask; only the
+    final nonzero extraction (dynamic count) runs on host.
+    """
+    boxsize = int(round(1.0 / cell))
+    pts = jnp.asarray(np.asarray(points, dtype=np.float32))
+    mask = np.asarray(seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk))
+    ijk = np.argwhere(mask)
+    return (ijk.astype(np.float32) * cell + 0.5 * cell - 0.5)

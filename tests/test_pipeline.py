@@ -1,0 +1,86 @@
+"""End-to-end pipeline tests with randomly initialised tiny models."""
+import jax
+import numpy as np
+import pytest
+
+from sapcu_tpu import models
+from sapcu_tpu.generate import Upsampler, normalize_pointcloud
+from sapcu_tpu.ops import metrics
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def upsampler():
+    fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
+                                     k_values=(6, 6, 4), emb_dims=32,
+                                     time_steps_enc=2, num_heads=4)
+    fd_bundle = models.init_fd_model(jax.random.PRNGKey(1), k=8, emb_dims=48,
+                                     time_steps=2, k_scales=(4, 8),
+                                     num_heads=4)
+    return Upsampler(fn_bundle, fd_bundle, k_neighbors=16,
+                     dense_spacing=0.02, batch_size=64)
+
+
+def _sphere(n, r=0.42, seed=2):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (v * r).astype(np.float32)
+
+
+def test_refine_and_outlier(upsampler):
+    cloud = _sphere(300)
+    seeds = upsampler.generate_seeds(cloud)
+    assert seeds.shape[0] > 50
+    sub = seeds[:100]
+    out = upsampler.refine(cloud, sub)
+    assert out.ndim == 2 and out.shape[1] == 3
+    assert 0 < out.shape[0] <= 100          # outlier filter may drop some
+    assert np.all(np.isfinite(out))
+    # with random fd weights, distances are small (softplus near init) so
+    # moved points stay near the seed shell
+    d = np.linalg.norm(out[:, None, :] - sub[None, :, :], axis=-1).min(1)
+    assert d.max() < 0.5
+
+
+def test_full_upsample_increases_density(upsampler):
+    cloud = _sphere(300)
+    out = upsampler.upsample(cloud[None])    # [1, N, 3] input path
+    assert out.shape[0] > cloud.shape[0]
+    # output should hug the sphere: radii within the seed band + predicted
+    # distances of the shell
+    radii = np.linalg.norm(out, axis=1)
+    assert radii.min() > 0.25 and radii.max() < 0.6
+
+
+def test_normalize_pointcloud_roundtrip(rng):
+    cloud = rng.normal(size=(100, 3)).astype(np.float32) * 5 + 2
+    norm, loc, scale = normalize_pointcloud(cloud)
+    assert np.all(np.abs(norm) <= 0.5 + 1e-6)
+    np.testing.assert_allclose(norm * scale + loc, cloud, atol=1e-4)
+
+
+def test_metrics_sanity(rng):
+    a = rng.normal(size=(1, 128, 3)).astype(np.float32)
+    self_cd = float(metrics.chamfer(jnp.asarray(a), jnp.asarray(a)))
+    assert self_cd < 1e-9
+    b = a + 0.01
+    cd = float(metrics.chamfer(jnp.asarray(a), jnp.asarray(b)))
+    assert cd > 0
+    m = metrics.evaluate_pair(jnp.asarray(a[0]), jnp.asarray(a[0]))
+    assert float(m["fscore@1e-2"]) == 1.0
+    assert float(m["cd"]) < 1e-6
+    hd = float(metrics.hausdorff(jnp.asarray(a), jnp.asarray(b))[0])
+    assert abs(hd - 0.01 * np.sqrt(3)) < 1e-3
+
+
+def test_sinkhorn_emd_identity_and_shift(rng):
+    a = rng.normal(size=(64, 3)).astype(np.float32)
+    same = float(metrics.sinkhorn_emd(jnp.asarray(a), jnp.asarray(a),
+                                      epsilon=0.005))
+    shifted = float(metrics.sinkhorn_emd(jnp.asarray(a),
+                                         jnp.asarray(a + np.array([0.5, 0, 0],
+                                                                  np.float32)),
+                                         epsilon=0.005))
+    assert same < 0.05
+    assert abs(shifted - 0.5) < 0.1
