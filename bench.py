@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: upsampled points/sec at 4x scale on one chip.
+
+Runs the full inference pipeline (seed generation + fused
+patch->fn->rotate->fd->move refine + outlier filter) on a 2048-point cloud
+with the flagship (effective-hyperparameter) models and random weights
+(same FLOPs as trained weights), then reports steady-state throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the per-chip share of the north-star
+target (10M pts/s on v5e-8 -> 1.25M pts/s/chip, BASELINE.json).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 10e6 / 8  # north-star 10M pts/s on v5e-8
+
+
+def main():
+    import jax
+
+    from sapcu_tpu.generate import Upsampler
+    from sapcu_tpu.utils import load_config, get_model
+
+    fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
+    fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
+
+    batch = 2048
+    up = Upsampler(fn_bundle, fd_bundle, batch_size=batch)
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(2048, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cloud = (v * 0.42).astype(np.float32)
+
+    # warmup: compiles seed kernel, refine chunk, outlier kernel
+    t0 = time.time()
+    out = up.upsample(cloud)
+    warm = time.time() - t0
+    print(f"# warmup: {out.shape[0]} pts in {warm:.1f}s", file=sys.stderr)
+
+    # steady state: time full pipeline end-to-end (seeds + refine + filter)
+    reps = 3
+    t0 = time.time()
+    n_out = 0
+    for i in range(reps):
+        rot = np.float32([[np.cos(i), -np.sin(i), 0],
+                          [np.sin(i), np.cos(i), 0], [0, 0, 1]])
+        out = up.upsample(cloud @ rot.T)
+        n_out += out.shape[0]
+    dt = time.time() - t0
+    pts_per_sec = n_out / dt
+
+    print(json.dumps({
+        "metric": "upsampled_points_per_sec_per_chip_4x",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / BASELINE_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Arbitrary-scale point-cloud upsampling CLI.
+
+Replaces the reference generate.py:108-171: per input .xyz file —
+bbox-normalize, upsample via the seed->fn->fd pipeline, denormalize, FPS
+to the target count, save. The reference hardcodes the PU1K 4x sweep
+(input_{256,512,1024,2048} -> output 4x); here the same sweep is the
+default behaviour of --sweep-root, and single files/dirs are first-class:
+
+  python generate.py --input cloud.xyz --output out.xyz --ratio 4
+  python generate.py --input-dir in/ --output-dir out/ --target-points 4096
+  python generate.py --sweep-root data/PU1K/release/PU1K/test --output-root testout/pu1k
+
+Checkpoints load from out/fn/model_best.pt and out/fd/model_best.pt by
+default (generate.py:127-128); --random-weights runs with fresh
+initialisation for smoke tests.
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+from sapcu_tpu.utils.config import apply_platform_env
+
+apply_platform_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sapcu_tpu import ops  # noqa: E402
+from sapcu_tpu.generate import Upsampler, normalize_pointcloud  # noqa: E402
+from sapcu_tpu.utils import CheckpointIO, load_config, get_model  # noqa: E402
+
+INPUT_TARGET = [(256, 1024), (512, 2048), (1024, 4096), (2048, 8192)]
+
+
+def load_models(args):
+    cfg_fn = load_config(args.fn_config)
+    cfg_fd = load_config(args.fd_config)
+    fn_bundle = get_model(cfg_fn, "fn")
+    fd_bundle = get_model(cfg_fd, "fd")
+    if not args.random_weights:
+        for name, bundle, out_dir in [("fn", fn_bundle, args.fn_dir),
+                                      ("fd", fd_bundle, args.fd_dir)]:
+            ckpt = CheckpointIO(out_dir, model=bundle[0],
+                                model_state=bundle[1])
+            ckpt.load(args.checkpoint)
+            params, state = ckpt.trees["model"], ckpt.trees["model_state"]
+            if name == "fn":
+                fn_bundle = (params, state, bundle[2])
+            else:
+                fd_bundle = (params, state, bundle[2])
+            print(f"Loaded {name} checkpoint from {out_dir}/{args.checkpoint}")
+    return fn_bundle, fd_bundle
+
+
+def process_file(input_path, output_path, upsampler, target_points):
+    """generate.py:81-101 semantics."""
+    cloud = np.loadtxt(input_path)[:, :3]
+    norm, loc, scale = normalize_pointcloud(cloud)
+    up = upsampler.upsample(norm[None])
+    up = up * scale + loc
+    assert up.shape[0] >= target_points, \
+        f"Generated {up.shape[0]} points, expected >= {target_points}"
+    idx = np.asarray(ops.farthest_point_sample(jnp.asarray(up.astype(np.float32)),
+                                               target_points))
+    np.savetxt(output_path, up[idx], fmt="%.6f")
+    return up.shape[0]
+
+
+def main():
+    p = argparse.ArgumentParser(description="Point cloud upsampling")
+    p.add_argument("--input", help="single input .xyz file")
+    p.add_argument("--output", help="single output .xyz file")
+    p.add_argument("--input-dir", help="directory of .xyz files")
+    p.add_argument("--output-dir", help="output directory")
+    p.add_argument("--sweep-root", help="PU1K test root with input_N dirs")
+    p.add_argument("--output-root", default="testout/pu1k")
+    p.add_argument("--ratio", type=float, default=4.0,
+                   help="upsampling ratio when --target-points not given")
+    p.add_argument("--target-points", type=int, default=None)
+    p.add_argument("--fn-config", default="configs/fn.yaml")
+    p.add_argument("--fd-config", default="configs/fd.yaml")
+    p.add_argument("--fn-dir", default="out/fn")
+    p.add_argument("--fd-dir", default="out/fd")
+    p.add_argument("--checkpoint", default="model_best.pt")
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--k-neighbors", type=int, default=100)
+    p.add_argument("--dense-spacing", type=float, default=0.004)
+    args = p.parse_args()
+
+    fn_bundle, fd_bundle = load_models(args)
+    gen = Upsampler(fn_bundle, fd_bundle, k_neighbors=args.k_neighbors,
+                    dense_spacing=args.dense_spacing,
+                    batch_size=args.batch_size)
+
+    jobs = []
+    if args.input:
+        n_in = np.loadtxt(args.input)[:, :3].shape[0]
+        tgt = args.target_points or int(n_in * args.ratio)
+        jobs.append((args.input, args.output or "output.xyz", tgt))
+    if args.input_dir:
+        os.makedirs(args.output_dir or "output", exist_ok=True)
+        for f in sorted(os.listdir(args.input_dir)):
+            if not f.endswith(".xyz"):
+                continue
+            path = os.path.join(args.input_dir, f)
+            n_in = np.loadtxt(path)[:, :3].shape[0]
+            tgt = args.target_points or int(n_in * args.ratio)
+            jobs.append((path, os.path.join(args.output_dir or "output", f),
+                         tgt))
+    if args.sweep_root:
+        for inp, tgt in INPUT_TARGET:
+            d = os.path.join(args.sweep_root, f"input_{inp}", f"input_{inp}")
+            if not os.path.isdir(d):
+                d = os.path.join(args.sweep_root, f"input_{inp}")
+            if not os.path.isdir(d):
+                print(f"Missing: {d}")
+                continue
+            out_dir = os.path.join(args.output_root, f"output_{tgt}")
+            os.makedirs(out_dir, exist_ok=True)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".xyz"):
+                    jobs.append((os.path.join(d, f),
+                                 os.path.join(out_dir, f), tgt))
+
+    if not jobs:
+        p.error("no inputs: pass --input, --input-dir, or --sweep-root")
+
+    total_t, total_pts = 0.0, 0
+    for i, (src, dst, tgt) in enumerate(jobs):
+        t0 = time.time()
+        n = process_file(src, dst, gen, tgt)
+        dt = time.time() - t0
+        total_t += dt
+        total_pts += tgt
+        print(f"[{i + 1}/{len(jobs)}] {os.path.basename(src)} -> {tgt} pts "
+              f"(raw {n}) in {dt:.2f}s")
+    print(f"Done. Files: {len(jobs)}, total {total_t:.1f}s, "
+          f"avg {total_t / max(len(jobs), 1):.2f}s/file, "
+          f"{total_pts / max(total_t, 1e-9):.0f} pts/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,11 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
     ]
     init_bn = [enc_s["conv_bn"][i] for i in range(3)] + [enc_s["ms_fuse_bn"]]
 
+    # Remat: recompute in-loop activations in the backward pass instead of
+    # storing T copies (the reference detaches states across timesteps, so
+    # per-step backward is independent; storing all T steps OOMs a 16G chip
+    # at the reference's batch size). fn.yaml's gradient_checkpointing
+    # analog; disable with cfg["remat"]=False.
     def t_body(carry_t, _):
         states, bns = carry_t
         s0, st0 = snn_steps[0](enc_p["snn"][0], states[0], x_conv0,
@@ -190,8 +195,9 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
         new_bns.append(bn_f)
         return (new_states, new_bns), pooled
 
+    body = jax.checkpoint(t_body) if cfg.get("remat", True) else t_body
     (final_states, final_bns), pooled_t = jax.lax.scan(
-        t_body, (init_states, init_bn), None, length=cfg["time_steps"])
+        body, (init_states, init_bn), None, length=cfg["time_steps"])
     del final_states
     new_state["enc"]["conv_bn"] = final_bns[:3]
     new_state["enc"]["ms_fuse_bn"] = final_bns[3]

@@ -178,9 +178,17 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
     block_feats, block_states = [], []
     cur = feats
+    # fn.yaml sets gradient_checkpointing: true — remat each transformer
+    # block so its 6 four-step SNN branches are recomputed in backward
+    # rather than stored.
+    remat = cfg.get("remat", True)
     for bp, bs, k, r in zip(enc_p["blocks"], enc_s["blocks"], cfg["k_values"], rngs):
-        cur, nbs = _block_apply(bp, bs, x, cur, k, cfg["num_heads"],
-                                cfg["dropout"], training=training, rng=r)
+        def block_fn(bp_, bs_, xyz_, cur_, _k=k, _r=r):
+            return _block_apply(bp_, bs_, xyz_, cur_, _k, cfg["num_heads"],
+                                cfg["dropout"], training=training, rng=_r)
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        cur, nbs = block_fn(bp, bs, x, cur)
         block_feats.append(cur)
         block_states.append(nbs)
     new_s["blocks"] = block_states

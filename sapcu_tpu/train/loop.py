@@ -1,0 +1,238 @@
+"""Training orchestration for fn and fd.
+
+One driver replicating both reference loops (trainfn.py:229-434,
+trainfd.py:247-452): iteration/epoch budgets, warmup + scheduler quirks
+(in sapcu_tpu.train.optim), checkpoint cadence and filenames, validation
+with best-model tracking / min_delta / early stopping, log.txt +
+TensorBoard-compatible scalars, KeyboardInterrupt -> model_interrupt.pt
+and crash -> model_crash.pt handling, and per-iteration throughput logs.
+
+Multi-device: pass a mesh and batches are sharded over 'dp' with params
+replicated; the same jitted step runs 1-chip or N-chip (GSPMD inserts the
+grad all-reduce).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from sapcu_tpu import data as data_mod
+from sapcu_tpu import parallel
+from sapcu_tpu.train import optim as optim_mod
+from sapcu_tpu.train import steps as steps_mod
+from sapcu_tpu.utils import CheckpointIO, effective_fd_training, get_model
+from sapcu_tpu.utils.logging import RunLogger
+
+
+def run_training(kind: str, cfg: dict, out_dir: str, *,
+                 max_iterations: int | None = None,
+                 batch_size: int | None = None,
+                 mesh=None, resume: bool = True,
+                 seed: int | None = None) -> dict:
+    """Train an fn or fd model; returns summary dict."""
+    assert kind in ("fn", "fd")
+    t_cfg = cfg["training"]
+    logger = RunLogger(out_dir, use_tensorboard=cfg.get(
+        "monitoring", {}).get("use_tensorboard", True))
+
+    batch_size = batch_size or int(t_cfg.get("batch_size", 4))
+    max_it = max_iterations or int(t_cfg.get("max_iterations", 300000))
+    max_epochs = int(t_cfg.get("max_epochs", 500))
+    print_every = int(t_cfg.get("print_every", 100))
+    checkpoint_every = int(t_cfg.get("checkpoint_every", 2000))
+    validate_every = int(t_cfg.get("validate_every", 2000))
+    backup_every = int(t_cfg.get("backup_every", 0) or 0)
+    early_stopping = bool(t_cfg.get("early_stopping", False))
+    patience = int(t_cfg.get("patience", 20000))
+    min_delta = float(t_cfg.get("min_delta", 1e-4))
+
+    train_ds = data_mod.get_dataset("train", cfg, kind)
+    val_ds = data_mod.get_dataset("val", cfg, kind)
+    train_loader = data_mod.DataLoader(train_ds, batch_size, shuffle=True,
+                                       drop_last=True, seed=seed or 0)
+    val_loader = data_mod.DataLoader(val_ds, batch_size, shuffle=False,
+                                     drop_last=True, seed=0)
+    steps_per_epoch = max(len(train_loader), 1)
+    logger.message(f"{kind}: train={len(train_ds)} val={len(val_ds)} "
+                   f"batch={batch_size} steps/epoch={steps_per_epoch}")
+
+    params, model_state, model_cfg = get_model(cfg, kind, seed=seed)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    logger.message(f"Total number of parameters: {n_params:,}")
+
+    if kind == "fn":
+        tx = optim_mod.make_tx(
+            params, optimizer=t_cfg.get("optimizer", "adamw"),
+            betas=tuple(t_cfg.get("betas", (0.9, 0.999))),
+            eps=float(t_cfg.get("eps", 1e-8)),
+            weight_decay=float(t_cfg.get("weight_decay", 0.0)),
+            grad_clip=t_cfg.get("grad_clip"),
+            grad_clip_type=t_cfg.get("grad_clip_type", "norm"),
+            snn_groups=True)
+        sched = optim_mod.fn_schedule(cfg)
+        train_step = steps_mod.make_fn_train_step(tx, model_cfg)
+        eval_step = steps_mod.make_fn_eval_step(model_cfg)
+    else:
+        eff = effective_fd_training(cfg)
+        tx = optim_mod.make_tx(
+            params, optimizer=eff["optimizer"],
+            betas=tuple(t_cfg.get("betas", (0.9, 0.999))),
+            eps=float(t_cfg.get("eps", 1e-8)),
+            weight_decay=eff["weight_decay"],
+            grad_clip=eff["grad_clip"], snn_groups=False)
+        sched = optim_mod.fd_schedule(eff, steps_per_epoch)
+        train_step = steps_mod.make_fd_train_step(
+            tx, model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)))
+        eval_step = steps_mod.make_fd_eval_step(
+            model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)))
+    opt_state = tx.init(params)
+
+    ckpt = CheckpointIO(out_dir, model=params, optimizer=opt_state,
+                        model_state=model_state)
+    epoch_it, it = 0, 0
+    metric_val_best = float("inf")
+    resume_file = (cfg.get("checkpoint", {}).get("resume_file", "model_best.pt")
+                   if kind == "fn" else "model_best.pt")
+    if resume and ckpt.exists(resume_file):
+        try:
+            scalars = ckpt.load(resume_file)
+            params = ckpt.trees["model"]
+            opt_state = ckpt.trees["optimizer"]
+            model_state = ckpt.trees["model_state"]
+            epoch_it = int(scalars.get("epoch_it", 0))
+            it = int(scalars.get("it", 0))
+            metric_val_best = float(scalars.get("loss_val_best", float("inf")))
+            logger.message(f"Resumed from {resume_file}: it={it} "
+                           f"best={metric_val_best:.6f}")
+        except Exception as e:  # reference logs and continues fresh
+            logger.message(f"Error loading checkpoint: {e}")
+
+    if mesh is not None:
+        params = parallel.replicate_tree(mesh, params)
+        opt_state = parallel.replicate_tree(mesh, opt_state)
+        model_state = parallel.replicate_tree(mesh, model_state)
+
+    def save(name: str):
+        ckpt.register(model=params, optimizer=opt_state,
+                      model_state=model_state)
+        ckpt.save(name, epoch_it=epoch_it, it=it,
+                  loss_val_best=metric_val_best)
+
+    def run_validation() -> dict:
+        nonlocal params, model_state
+        sums, n = {}, 0
+        carry = None
+        for batch in val_loader:
+            if mesh is not None:
+                batch = parallel.shard_batch(mesh, batch)
+            if kind == "fn":
+                m = eval_step(params, model_state, batch["input"],
+                              batch["normal"])
+            else:
+                m, carry = eval_step(params, model_state, batch["input"],
+                                     batch["len"], carry)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    rng_key = jax.random.PRNGKey(seed if seed is not None else 0)
+    start = time.time()
+    stop = False
+    losses: list[float] = []
+    summary: dict = {}
+
+    try:
+        while not stop:
+            epoch_it += 1
+            if it >= max_it or epoch_it >= max_epochs:
+                break
+            for batch in train_loader:
+                it += 1
+                lr, snn_lr = sched(it, epoch_it)
+                if mesh is not None:
+                    batch = parallel.shard_batch(mesh, batch)
+                rng_key, step_rng = jax.random.split(rng_key)
+                if kind == "fn":
+                    (params, opt_state, model_state, loss, conf, gnorm,
+                     ok) = train_step(params, opt_state, model_state,
+                                      batch["input"], batch["normal"],
+                                      lr, snn_lr, step_rng)
+                else:
+                    (params, opt_state, model_state, loss, gnorm,
+                     ok) = train_step(params, opt_state, model_state,
+                                      batch["input"], batch["len"],
+                                      lr, step_rng)
+                    conf = None
+                loss_v = float(loss)
+                if not bool(ok):
+                    logger.message(f"WARNING: non-finite grads at it={it}, "
+                                   "step skipped")
+                losses.append(loss_v)
+                logger.add_scalar("train/loss", loss_v, it)
+                logger.add_scalar("train/lr", lr, it)
+                if it % 100 == 0:
+                    logger.add_scalar("train/grad_norm", float(gnorm), it)
+
+                if print_every > 0 and it % print_every == 0:
+                    avg = np.mean(losses[-print_every:])
+                    sps = it * batch_size / max(time.time() - start, 1e-9)
+                    logger.message(
+                        f"[Epoch {epoch_it:03d}] it={it:06d}, "
+                        f"loss={loss_v:.6f} (avg: {avg:.6f}), lr={lr:.2e}, "
+                        f"samples/s={sps:.1f}")
+
+                if checkpoint_every > 0 and it % checkpoint_every == 0:
+                    if kind == "fn":
+                        save(f"model_{it:06d}.pt")
+                        save("model_latest.pt")
+                    else:
+                        save("model.pt")
+                if backup_every > 0 and it % backup_every == 0:
+                    save(f"backup_model_{it:06d}.pt")
+
+                if validate_every > 0 and it % validate_every == 0:
+                    metrics = run_validation()
+                    metric_val = metrics["loss"]
+                    logger.add_scalars("val", metrics, it)
+                    logger.message(f"Validation at it={it}: " + ", ".join(
+                        f"{k}={v:.6f}" for k, v in metrics.items()))
+                    if metric_val < metric_val_best:
+                        improved = metric_val < metric_val_best - min_delta
+                        metric_val_best = metric_val
+                        logger.message(
+                            f"New best model! Loss: {metric_val_best:.6f}")
+                        save("model_best.pt")
+                        if improved:
+                            summary["best_it"] = it
+                    if early_stopping and it - summary.get("best_it", 0) \
+                            >= patience:
+                        logger.message(
+                            f"Early stopping at it={it} (patience {patience})")
+                        stop = True
+                        break
+
+                if it >= max_it:
+                    stop = True
+                    break
+        save("model_final.pt")
+    except KeyboardInterrupt:
+        logger.message("Training interrupted by user. Saving checkpoint...")
+        save("model_interrupt.pt")
+    except Exception as e:
+        logger.message(f"Exception during training: {e}")
+        try:
+            save("model_crash.pt")
+        except Exception:
+            pass
+        raise
+    finally:
+        logger.close()
+
+    summary.update({"it": it, "epoch_it": epoch_it,
+                    "loss_val_best": metric_val_best,
+                    "final_loss": losses[-1] if losses else float("nan"),
+                    "wall_time_s": time.time() - start})
+    return summary

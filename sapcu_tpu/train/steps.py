@@ -1,0 +1,130 @@
+"""Jitted train / eval steps for fn and fd.
+
+One compiled step per (model, batch shape); the learning rate enters as a
+traced scalar so schedules never recompile. Data-parallel execution needs
+no separate code path: batches arrive sharded over the mesh's 'dp' axis
+(sapcu_tpu.parallel) and GSPMD inserts the gradient psum.
+
+Guards mirror the reference trainers:
+- fn: NaN/Inf in loss or any gradient skips the whole update
+  (fn/trainer.py:77-116) — expressed as a jnp.where select, so the guard
+  costs one fused reduction instead of a host sync;
+- fd: post-step SNN parameter clamps (trainfd.py:306-313);
+- fd resets SNN carry state every train step (fd/trainer.py:29-31), so
+  the carry is simply not threaded here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sapcu_tpu.models import (fd_apply, fd_loss, fn_apply, fn_loss,
+                              angular_error_deg)
+from sapcu_tpu.train.optim import apply_updates_grouped, clamp_snn_params
+
+
+def _all_finite(tree) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
+
+
+def _select(ok, new, old):
+    return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+
+def make_fd_train_step(tx, cfg: dict, beta: float = 0.1,
+                       clamp_after_step: bool = True):
+    @jax.jit
+    def step(params, opt_state, model_state, batch_input, batch_len,
+             lr, rng):
+        def loss_fn(p):
+            pred, new_state, _ = fd_apply(p, model_state, batch_input, cfg,
+                                          training=True, rng=rng)
+            return fd_loss(pred, batch_len, beta), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = apply_updates_grouped(params, updates, lr, lr)
+        if clamp_after_step:
+            new_params = clamp_snn_params(new_params)
+
+        ok = _all_finite(grads) & jnp.isfinite(loss)
+        params_out = _select(ok, new_params, params)
+        opt_out = _select(ok, new_opt, opt_state)
+        state_out = _select(ok, new_state, model_state)
+        return params_out, opt_out, state_out, loss, grad_norm, ok
+
+    return step
+
+
+def make_fd_eval_step(cfg: dict, beta: float = 0.1):
+    @jax.jit
+    def step(params, model_state, batch_input, batch_len, carry):
+        pred, _, new_carry = fd_apply(params, model_state, batch_input, cfg,
+                                      training=False, carry=carry)
+        loss = fd_loss(pred, batch_len, beta)
+        mae = jnp.mean(jnp.abs(pred - batch_len))
+        mse = jnp.mean((pred - batch_len) ** 2)
+        rel = jnp.mean(jnp.abs(pred - batch_len) / (batch_len + 1e-8))
+        return {"loss": loss, "mae": mae, "mse": mse,
+                "relative_error": rel}, new_carry
+
+    return step
+
+
+def make_fn_train_step(tx, cfg: dict, consistency_weight: float = 0.15,
+                       k_neighbors: int = 8):
+    @jax.jit
+    def step(params, opt_state, model_state, batch_input, batch_normal,
+             lr, snn_lr, rng):
+        gt = batch_normal / jnp.maximum(
+            jnp.linalg.norm(batch_normal, axis=-1, keepdims=True), 1e-12)
+
+        def loss_fn(p):
+            pred, new_state = fn_apply(p, model_state, batch_input, cfg,
+                                       training=True, rng=rng)
+            pred = pred / jnp.maximum(
+                jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
+            loss, conf = fn_loss(pred, gt, batch_input,
+                                 consistency_weight=consistency_weight,
+                                 k_neighbors=k_neighbors)
+            return loss, (new_state, conf)
+
+        (loss, (new_state, conf)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = apply_updates_grouped(params, updates, lr, snn_lr)
+        new_params = clamp_snn_params(new_params)
+
+        ok = _all_finite(grads) & jnp.isfinite(loss)
+        params_out = _select(ok, new_params, params)
+        opt_out = _select(ok, new_opt, opt_state)
+        state_out = _select(ok, new_state, model_state)
+        return params_out, opt_out, state_out, loss, conf, grad_norm, ok
+
+    return step
+
+
+def make_fn_eval_step(cfg: dict, consistency_weight: float = 0.15,
+                      k_neighbors: int = 8):
+    @jax.jit
+    def step(params, model_state, batch_input, batch_normal):
+        gt = batch_normal / jnp.maximum(
+            jnp.linalg.norm(batch_normal, axis=-1, keepdims=True), 1e-12)
+        pred, _ = fn_apply(params, model_state, batch_input, cfg,
+                           training=False)
+        pred = pred / jnp.maximum(
+            jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
+        loss, conf = fn_loss(pred, gt, batch_input,
+                             consistency_weight=consistency_weight,
+                             k_neighbors=k_neighbors)
+        ang = angular_error_deg(pred, gt)
+        return {"loss": loss, "confidence": conf, "angular_error_deg": ang}
+
+    return step

@@ -155,6 +155,22 @@ def effective_fd_training(cfg: dict) -> dict:
     }
 
 
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even though the image pre-imports jax.
+
+    The runtime's sitecustomize imports jax before user code runs, so the
+    env var alone is ignored; re-applying it through jax.config before the
+    backend initialises makes ``JAX_PLATFORMS=cpu python trainfd.py ...``
+    behave as expected. Call first thing in every CLI.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialised; keep whatever it picked
+
+
 def setup_seed(cfg: dict) -> int:
     seed = cfg.get("hardware", {}).get("seed", 42)
     import numpy as np
