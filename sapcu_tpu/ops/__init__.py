@@ -1,3 +1,11 @@
+from sapcu_tpu.ops.grouping import (
+    ball_query,
+    group_points,
+    three_nn,
+    three_interpolate,
+    interpolate_features,
+    pca_normals,
+)
 from sapcu_tpu.ops.pointops import (
     pairwise_sqdist,
     knn,
@@ -11,6 +19,8 @@ from sapcu_tpu.ops.pointops import (
 )
 
 __all__ = [
+    "ball_query", "group_points", "three_nn", "three_interpolate",
+    "interpolate_features", "pca_normals",
     "pairwise_sqdist",
     "knn",
     "knn_tiled",
