@@ -36,21 +36,25 @@ def main():
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     cloud = (v * 0.42).astype(np.float32)
 
-    # warmup: compiles seed kernel, refine chunk, outlier kernel
+    # warmup: compiles seed kernel, refine chunk, outlier kernel. The
+    # pipeline is device-resident; only point COUNTS cross the (slow stdio-
+    # relayed) tunnel, so timings measure device throughput.
     t0 = time.time()
-    out = up.upsample(cloud)
+    pts, n = up.upsample_device(cloud)
+    pts.block_until_ready()
     warm = time.time() - t0
-    print(f"# warmup: {out.shape[0]} pts in {warm:.1f}s", file=sys.stderr)
+    print(f"# warmup: {n} pts in {warm:.1f}s", file=sys.stderr)
 
     # steady state: time full pipeline end-to-end (seeds + refine + filter)
     reps = 3
     t0 = time.time()
     n_out = 0
-    for i in range(reps):
+    for i in range(1, reps + 1):
         rot = np.float32([[np.cos(i), -np.sin(i), 0],
                           [np.sin(i), np.cos(i), 0], [0, 0, 1]])
-        out = up.upsample(cloud @ rot.T)
-        n_out += out.shape[0]
+        pts, n = up.upsample_device(cloud @ rot.T)
+        pts.block_until_ready()
+        n_out += n
     dt = time.time() - t0
     pts_per_sec = n_out / dt
 

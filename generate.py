@@ -56,17 +56,19 @@ def load_models(args):
 
 
 def process_file(input_path, output_path, upsampler, target_points):
-    """generate.py:81-101 semantics."""
+    """generate.py:81-101 semantics, device-resident until the final
+    [target, 3] transfer (FPS runs on device; only the selected points
+    cross the slow tunnel)."""
     cloud = np.loadtxt(input_path)[:, :3]
     norm, loc, scale = normalize_pointcloud(cloud)
-    up = upsampler.upsample(norm[None])
-    up = up * scale + loc
-    assert up.shape[0] >= target_points, \
-        f"Generated {up.shape[0]} points, expected >= {target_points}"
-    idx = np.asarray(ops.farthest_point_sample(jnp.asarray(up.astype(np.float32)),
-                                               target_points))
-    np.savetxt(output_path, up[idx], fmt="%.6f")
-    return up.shape[0]
+    pts, n = upsampler.upsample_device(norm[None])
+    assert n >= target_points, \
+        f"Generated {n} points, expected >= {target_points}"
+    from sapcu_tpu.generate.pipeline import _fps_select
+    sel = _fps_select(pts, jnp.asarray(n), target_points)
+    out = np.asarray(sel) * scale + loc
+    np.savetxt(output_path, out, fmt="%.6f")
+    return n
 
 
 def main():

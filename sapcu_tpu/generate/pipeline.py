@@ -85,6 +85,20 @@ def _bucket(n: int, base: int = 8192) -> int:
     return cap
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact(pts: jax.Array, keep: jax.Array, cap: int
+             ) -> tuple[jax.Array, jax.Array]:
+    """Gather kept rows to the front (order-preserving), pad with row 0."""
+    (idx,) = jnp.nonzero(keep, size=cap, fill_value=0)
+    return pts[idx], jnp.sum(keep.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def _fps_select(pts: jax.Array, n_valid: jax.Array, npoint: int) -> jax.Array:
+    idx = ops.farthest_point_sample_masked(pts, npoint, n_valid)
+    return pts[idx]
+
+
 class Upsampler:
     """Drop-in functional analog of Generator3D6 (generation.py:50-187).
 
@@ -108,41 +122,74 @@ class Upsampler:
         self.seed_chunk = seed_chunk
 
     def upsample(self, data: np.ndarray) -> np.ndarray:
-        """[N, 3] or [1, N, 3] normalized cloud -> [M, 3] upsampled."""
-        cloud = np.asarray(data, dtype=np.float32)
+        """[N, 3] or [1, N, 3] normalized cloud -> [M, 3] upsampled (host).
+
+        Legacy host-array API (Generator3D6.upsample); transfers the full
+        result. Prefer ``upsample_device``/``upsample_to`` where the
+        result feeds further device work — the tunnel makes large
+        device->host transfers the dominant cost.
+        """
+        pts, n = self.upsample_device(data)
+        return np.asarray(pts[:n])
+
+    def upsample_device(self, data) -> tuple[jax.Array, int]:
+        """Full device-resident pipeline -> (padded points ON DEVICE,
+        n_valid). Only scalar counts cross to the host."""
+        cloud = jnp.asarray(data, dtype=jnp.float32)
         if cloud.ndim == 3:
             cloud = cloud[0]
-        seed_pts = self.generate_seeds(cloud)
-        return self.refine(cloud, seed_pts)
+        seed_pts, n_seeds = seeds_mod.generate_seeds_device(
+            cloud, cell=self.dense_spacing, chunk=self.seed_chunk)
+        return self.refine_device(cloud, seed_pts, n_seeds)
+
+    def upsample_to(self, data, target_points: int) -> jax.Array:
+        """Pipeline + on-device FPS to target_points -> [target, 3] device
+        array (the generate.py:95-99 FPS step without the host round-trip)."""
+        pts, n = self.upsample_device(data)
+        assert n >= target_points, \
+            f"Generated {n} points, expected >= {target_points}"
+        return _fps_select(pts, jnp.asarray(n), target_points)
 
     def generate_seeds(self, cloud: np.ndarray) -> np.ndarray:
         return seeds_mod.generate_seeds(cloud, cell=self.dense_spacing,
                                         chunk=self.seed_chunk)
 
+    def refine_device(self, cloud, seed_pts, n_seeds: int
+                      ) -> tuple[jax.Array, int]:
+        """seeds [cap, 3] on device (valid count n_seeds) -> (compacted
+        outlier-filtered points [cap, 3] on device, n_valid)."""
+        if n_seeds == 0:
+            return jnp.zeros((1, 3), jnp.float32), 0
+        c = self.batch_size
+        cap = seed_pts.shape[0]
+        pad = (-cap) % c
+        if pad:
+            seed_pts = jnp.pad(seed_pts, ((0, pad), (0, 0)))
+        cloud_j = jnp.asarray(cloud, dtype=jnp.float32)
+
+        moved_tiles = []
+        for i in range(0, seed_pts.shape[0], c):
+            moved_tiles.append(refine_chunk(
+                self.fn_params, self.fn_state, self.fd_params, self.fd_state,
+                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i, c),
+                self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors))
+        moved = jnp.concatenate(moved_tiles, axis=0)
+
+        valid = jnp.arange(moved.shape[0]) < n_seeds
+        keep = _outlier_mask(moved, valid, self.outlier_threshold)
+        out, n_keep = _compact(moved, keep, _bucket(n_seeds))
+        return out, int(n_keep)
+
     def refine(self, cloud: np.ndarray, seed_pts: np.ndarray) -> np.ndarray:
-        """seeds -> moved points -> outlier-filtered output (numpy [M, 3])."""
+        """Host-array convenience wrapper around refine_device."""
         s = seed_pts.shape[0]
         if s == 0:
             return np.zeros((0, 3), np.float32)
-        c = self.batch_size
-        pad = (-s) % c
-        seeds_p = np.pad(seed_pts.astype(np.float32), ((0, pad), (0, 0)))
-        cloud_j = jnp.asarray(cloud)
-
-        moved_tiles = []
-        for i in range(0, seeds_p.shape[0], c):
-            tile = jnp.asarray(seeds_p[i:i + c])
-            moved_tiles.append(refine_chunk(
-                self.fn_params, self.fn_state, self.fd_params, self.fd_state,
-                cloud_j, tile, self.fn_cfg_s, self.fd_cfg_s,
-                self.k_neighbors))
-        moved = jnp.concatenate(moved_tiles, axis=0)[:s]
-
         cap = _bucket(s)
-        moved_b = jnp.pad(moved, ((0, cap - s), (0, 0)))
-        valid = jnp.arange(cap) < s
-        keep = _outlier_mask(moved_b, valid, self.outlier_threshold)
-        return np.asarray(moved_b)[np.asarray(keep)]
+        seeds_p = jnp.asarray(np.pad(seed_pts.astype(np.float32),
+                                     ((0, cap - s), (0, 0))))
+        out, n = self.refine_device(cloud, seeds_p, s)
+        return np.asarray(out[:n])
 
     def multi_scale_upsample(self, data: np.ndarray,
                              num_passes: int = 1) -> np.ndarray:

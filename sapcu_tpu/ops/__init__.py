@@ -13,6 +13,7 @@ from sapcu_tpu.ops.pointops import (
     index_points,
     graph_feature,
     farthest_point_sample,
+    farthest_point_sample_masked,
     rotation_to_target,
     rotate_points,
     point_triangle_closest,
@@ -27,6 +28,7 @@ __all__ = [
     "index_points",
     "graph_feature",
     "farthest_point_sample",
+    "farthest_point_sample_masked",
     "rotation_to_target",
     "rotate_points",
     "point_triangle_closest",

@@ -117,6 +117,33 @@ def farthest_point_sample(points: jax.Array, npoint: int,
     return centroids
 
 
+def farthest_point_sample_masked(points: jax.Array, npoint: int,
+                                 n_valid: jax.Array) -> jax.Array:
+    """FPS over the first ``n_valid`` rows of a padded [N, 3] buffer.
+
+    Same semantics as ``farthest_point_sample`` (start index n_valid//2,
+    1e32 init) but ignores pad rows, so the whole pipeline can stay
+    device-resident with bucketed static shapes. ``n_valid`` may be traced.
+    """
+    n = points.shape[0]
+    valid = jnp.arange(n) < n_valid
+
+    def body(i, carry):
+        centroids, distance, farthest = carry
+        centroids = centroids.at[i].set(farthest)
+        centroid = points[farthest]
+        d = jnp.sum((points - centroid) ** 2, axis=-1)
+        distance = jnp.where(valid, jnp.minimum(distance, d), -jnp.inf)
+        return centroids, distance, jnp.argmax(distance).astype(jnp.int32)
+
+    centroids = jnp.zeros((npoint,), dtype=jnp.int32)
+    distance = jnp.where(valid, 1e32, -jnp.inf).astype(points.dtype)
+    farthest = (n_valid // 2).astype(jnp.int32)
+    centroids, _, _ = jax.lax.fori_loop(0, npoint, body,
+                                        (centroids, distance, farthest))
+    return centroids
+
+
 def _skew(v: jax.Array) -> jax.Array:
     """[..., 3] -> [..., 3, 3] cross-product matrix."""
     zero = jnp.zeros_like(v[..., 0])

@@ -145,17 +145,58 @@ def seed_mask(points: jax.Array, boxsize: int, cell: float,
     return reach & (dist >= band_lo) & (dist <= band_hi)
 
 
+@functools.partial(jax.jit, static_argnames=("boxsize", "cap"))
+def extract_seeds(mask: jax.Array, boxsize: int, cell: float,
+                  cap: int) -> tuple[jax.Array, jax.Array]:
+    """Device-side mask -> (centers [cap, 3], n_valid scalar).
+
+    Valid centers are compacted to the front (jnp.nonzero preserves index
+    order, matching the C-order voxel enumeration of the host argwhere
+    path); pad rows repeat center 0.
+    """
+    flat = mask.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    z = idx % boxsize
+    y = (idx // boxsize) % boxsize
+    x = idx // (boxsize * boxsize)
+    centers = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) \
+        * cell + 0.5 * cell - 0.5
+    return centers, jnp.sum(flat.astype(jnp.int32))
+
+
+def _bucket(n: int, base: int = 8192) -> int:
+    cap = base
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def generate_seeds_device(points, cell: float = 0.004,
+                          band_lo: float = BAND_LO, band_hi: float = BAND_HI,
+                          chunk: int = 8192):
+    """[N, 3] cloud (host or device) -> (centers [cap, 3] ON DEVICE,
+    n_valid int). Only one scalar crosses to the host (the count, to pick
+    the bucketed capacity) — the axon tunnel makes large device->host
+    transfers prohibitively slow, so the seed set never leaves the chip.
+    """
+    boxsize = int(round(1.0 / cell))
+    pts = jnp.asarray(points, dtype=jnp.float32)
+    mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+    count = int(jnp.sum(mask))
+    cap = _bucket(max(count, 1))
+    centers, _ = extract_seeds(mask, boxsize, cell, cap)
+    return centers, count
+
+
 def generate_seeds(points: np.ndarray, cell: float = 0.004,
                    band_lo: float = BAND_LO, band_hi: float = BAND_HI,
                    chunk: int = 8192) -> np.ndarray:
     """Host entry point: [N, 3] normalized cloud -> [S, 3] seed centers.
 
     Replaces ``os.system(f"./dense {cell} {N}")`` + target.xyz round-trip
-    (generation.py:114-117). The device computes the full mask; only the
-    final nonzero extraction (dynamic count) runs on host.
+    (generation.py:114-117). Transfers the seed array to host; prefer
+    ``generate_seeds_device`` inside device-resident pipelines.
     """
-    boxsize = int(round(1.0 / cell))
-    pts = jnp.asarray(np.asarray(points, dtype=np.float32))
-    mask = np.asarray(seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk))
-    ijk = np.argwhere(mask)
-    return (ijk.astype(np.float32) * cell + 0.5 * cell - 0.5)
+    centers, count = generate_seeds_device(points, cell, band_lo, band_hi,
+                                           chunk)
+    return np.asarray(centers[:count])

@@ -150,3 +150,14 @@ def test_knn_tiled_matches_dense(rng):
     np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1), np.sort(want, axis=1))
     wd = np.sum((q[:, None, :] - r[np.asarray(idx)]) ** 2, axis=-1)
     np.testing.assert_allclose(np.asarray(d), wd, atol=1e-4)
+
+
+def test_fps_masked_matches_unmasked(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    import jax.numpy as jnp2
+    padded = np.pad(pts, ((0, 28), (0, 0)), constant_values=99.0)
+    got = np.asarray(ops.farthest_point_sample_masked(
+        jnp.asarray(padded), 32, jnp.asarray(100)))
+    want = np.asarray(ops.farthest_point_sample(jnp.asarray(pts), 32))
+    np.testing.assert_array_equal(got, want)
+    assert got.max() < 100  # never selects pad rows
