@@ -92,6 +92,10 @@ def init_fd_model(key, k: int = 32, emb_dims: int = 768, time_steps: int = 7,
 
     enc_p["snn_fc"] = snn.lif_init(emb_dims)
     enc_p["temporal_w"] = jnp.ones((time_steps,), jnp.float32)
+    # live spike-rate telemetry (blocks 0-3 + snn_fc), overwritten each
+    # forward — the working version of the reference's dead
+    # get_spike_statistics hook (trainfn.py:245-249, fn/trainer.py:280-283)
+    enc_s["spike_rates"] = jnp.zeros((5,), jnp.float32)
 
     # ---- decoder (StandardDistanceDecoder, fd:667-729) ------------------
     dec_p, dec_s = params["dec"], state["dec"]
@@ -193,10 +197,11 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
         agg = fnn.leaky_relu(agg, 0.2)
         pooled = jnp.max(agg, axis=-2)                    # [B, emb]
         new_bns.append(bn_f)
-        return (new_states, new_bns), pooled
+        rates = jnp.stack([jnp.mean(f) for f in feats])   # telemetry
+        return (new_states, new_bns), (pooled, rates)
 
     body = jax.checkpoint(t_body) if cfg.get("remat", True) else t_body
-    (final_states, final_bns), pooled_t = jax.lax.scan(
+    (final_states, final_bns), (pooled_t, rates_t) = jax.lax.scan(
         body, (init_states, init_bn), None, length=cfg["time_steps"])
     del final_states
     new_state["enc"]["conv_bn"] = final_bns[:3]
@@ -211,6 +216,8 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
         carry = snn.detach_state(carry)
     out, new_carry = snn.lif_step(enc_p["snn_fc"], carry, feat,
                                   training=training)
+    new_state["enc"]["spike_rates"] = jax.lax.stop_gradient(jnp.concatenate(
+        [jnp.mean(rates_t, axis=0), jnp.mean(out)[None]]))
     return out, new_state, new_carry
 
 

@@ -41,6 +41,33 @@ def pairwise_sqdist(src: jax.Array, dst: jax.Array) -> jax.Array:
     return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
 
 
+def topk_small(neg_dist: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over the last axis for SMALL k via iterative argmax.
+
+    ``lax.top_k`` lowers to a full sort on TPU (~80ms for [8192, 2048]);
+    k sequential masked argmax passes are VPU-bound and far cheaper for
+    k <= ~16. Returns (values, indices) sorted descending like lax.top_k.
+    """
+    n = neg_dist.shape[-1]
+    x = neg_dist
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        x = jnp.where(jax.nn.one_hot(i, n, dtype=bool), -jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def top_k_select(neg_dist: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Dispatch to the iterative selector for small k, lax.top_k otherwise."""
+    if k <= 16:
+        return topk_small(neg_dist, k)
+    v, i = jax.lax.top_k(neg_dist, k)
+    return v, i.astype(jnp.int32)
+
+
 def knn(points: jax.Array, k: int, queries: jax.Array | None = None) -> jax.Array:
     """k-nearest-neighbour indices, nearest first.
 
@@ -56,8 +83,8 @@ def knn(points: jax.Array, k: int, queries: jax.Array | None = None) -> jax.Arra
     n = points.shape[-2]
     k = min(k, n)
     dist = pairwise_sqdist(queries, points)
-    _, idx = jax.lax.top_k(-dist, k)
-    return idx.astype(jnp.int32)
+    _, idx = top_k_select(-dist, k)
+    return idx
 
 
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
@@ -252,8 +279,8 @@ def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
 
     def one(tile):
         d = pairwise_sqdist(tile, refs)
-        neg, idx = jax.lax.top_k(-d, k)
-        return -neg, idx.astype(jnp.int32)
+        neg, idx = top_k_select(-d, k)
+        return -neg, idx
 
     dists, idxs = jax.lax.map(one, tiles)
     dists = dists.reshape(-1, k)[:q]

@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sapcu_tpu.ops.pointops import pairwise_sqdist, point_triangle_closest
+from sapcu_tpu.ops.pointops import (pairwise_sqdist, point_triangle_closest,
+                                     topk_small)
 
 BAND_LO = 0.0110
 BAND_HI = 0.0150
@@ -66,7 +67,7 @@ def surface_distance(centers: jax.Array, points: jax.Array,
 
     def one(tile):
         d = pairwise_sqdist(tile, points)
-        _, idx = jax.lax.top_k(-d, 10)               # nearest-first
+        _, idx = topk_small(-d, 10)                  # nearest-first
         nn = points[idx]                              # [chunk, 10, 3]
         nearest = nn[:, 0:1, :]                       # pt[9]
         second = nn[:, 1:2, :]                        # pt[8]

@@ -138,6 +138,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
 
+    # jax.profiler tracing (SURVEY.md §5.1: the reference has only a config
+    # stub debug.profile; here it captures a real trace window)
+    profile_cfg = bool(cfg.get("debug", {}).get("profile", False))
+    profile_start = int(cfg.get("debug", {}).get("profile_start_it", 10))
+    profile_steps = int(cfg.get("debug", {}).get("profile_steps", 5))
+    profile_dir = f"{out_dir}/profile"
+
     rng_key = jax.random.PRNGKey(seed if seed is not None else 0)
     start = time.time()
     stop = False
@@ -175,6 +182,19 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                 logger.add_scalar("train/lr", lr, it)
                 if it % 100 == 0:
                     logger.add_scalar("train/grad_norm", float(gnorm), it)
+                    rates = model_state.get("enc", {}).get("spike_rates")
+                    if rates is not None:  # live snn/* telemetry (the
+                        # reference's hook at trainfn.py:245-249 is dead)
+                        for bi, r in enumerate(np.asarray(rates)):
+                            logger.add_scalar(f"snn/spike_rate_block{bi}",
+                                              float(r), it)
+
+                if profile_cfg and it == profile_start:
+                    jax.profiler.start_trace(profile_dir)
+                    logger.message(f"profiler trace started -> {profile_dir}")
+                if profile_cfg and it == profile_start + profile_steps:
+                    jax.profiler.stop_trace()
+                    logger.message("profiler trace stopped")
 
                 if print_every > 0 and it % print_every == 0:
                     avg = np.mean(losses[-print_every:])
