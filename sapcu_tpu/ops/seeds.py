@@ -52,13 +52,21 @@ BAND_LO = 0.0110
 BAND_HI = 0.0150
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def surface_distance(centers: jax.Array, points: jax.Array,
                      chunk: int = 8192) -> jax.Array:
     """Distance from each center to the 8-triangle local surface approx.
 
     centers: [C, 3], points: [N, 3] (N >= 10) -> [C] float32.
-    Tiled over centers so peak memory is chunk*N.
+    Tiled over centers so peak memory is chunk*N. On TPU the fused Pallas
+    kernel (ops/pallas_kernels.py) replaces this XLA path.
     """
     c = centers.shape[0]
     pad = (-c) % chunk
@@ -128,13 +136,17 @@ def voxel_centers(boxsize: int, cell: float) -> jax.Array:
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("boxsize", "chunk"))
+@functools.partial(jax.jit, static_argnames=("boxsize", "chunk", "use_pallas"))
 def seed_mask(points: jax.Array, boxsize: int, cell: float,
               band_lo: float = BAND_LO, band_hi: float = BAND_HI,
-              chunk: int = 8192) -> jax.Array:
+              chunk: int = 8192, use_pallas: bool = False) -> jax.Array:
     """Full on-device seed computation -> boolean [bs, bs, bs] emit mask."""
     centers = voxel_centers(boxsize, cell)
-    dist = surface_distance(centers, points, chunk=chunk)
+    if use_pallas:
+        from sapcu_tpu.ops.pallas_kernels import surface_distance_pallas
+        dist = surface_distance_pallas(centers, points, tile=min(chunk, 512))
+    else:
+        dist = surface_distance(centers, points, chunk=chunk)
     dist = dist.reshape(boxsize, boxsize, boxsize)
 
     vox = jnp.clip(jnp.floor((points + 0.5) / cell).astype(jnp.int32),
@@ -182,7 +194,8 @@ def generate_seeds_device(points, cell: float = 0.004,
     """
     boxsize = int(round(1.0 / cell))
     pts = jnp.asarray(points, dtype=jnp.float32)
-    mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+    mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk,
+                     use_pallas=_on_tpu())
     count = int(jnp.sum(mask))
     cap = _bucket(max(count, 1))
     centers, _ = extract_seeds(mask, boxsize, cell, cap)

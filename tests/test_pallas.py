@@ -1,0 +1,28 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sapcu_tpu.ops.pallas_kernels import surface_distance_pallas
+from sapcu_tpu.ops.seeds import surface_distance
+
+
+def test_surface_distance_pallas_matches_xla(rng):
+    v = rng.normal(size=(500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = jnp.asarray((v * 0.42).astype(np.float32))
+    centers = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(700, 3)).astype(np.float32))
+    want = np.asarray(surface_distance(centers, pts, chunk=256))
+    got = np.asarray(surface_distance_pallas(centers, pts, tile=256,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_surface_distance_pallas_padding(rng):
+    # non-multiple-of-tile center count exercises the pad/unpad path
+    pts = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    centers = jnp.asarray(rng.normal(size=(37, 3)).astype(np.float32))
+    got = surface_distance_pallas(centers, pts, tile=16, interpret=True)
+    want = surface_distance(centers, pts, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
