@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sapcu_tpu import models, parallel
+from sapcu_tpu.generate.pipeline import refine_chunk, _outlier_mask
+from sapcu_tpu.parallel.inference import sharded_refine, sharded_outlier_mask
+
+
+@pytest.fixture(scope="module")
+def bundles():
+    fn_b = models.init_fn_model(jax.random.PRNGKey(0), k_values=(6, 6, 4),
+                                emb_dims=32, time_steps_enc=2, num_heads=4)
+    fd_b = models.init_fd_model(jax.random.PRNGKey(1), k=8, emb_dims=48,
+                                time_steps=2, k_scales=(4, 8), num_heads=4)
+    return fn_b, fd_b
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_refine_matches_single_device(bundles, rng):
+    fn_b, fd_b = bundles
+    mesh = parallel.data_parallel_mesh()
+    v = rng.normal(size=(128, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cloud = (v * 0.42).astype(np.float32)
+    seeds = (v[:64] * 0.47).astype(np.float32)
+
+    run = sharded_refine(mesh, fn_b, fd_b, k_neighbors=16)
+    sharded = np.asarray(run(cloud, seeds))
+
+    fn_s = tuple(sorted(fn_b[2].items()))
+    fd_s = tuple(sorted(fd_b[2].items()))
+    single = np.asarray(refine_chunk(fn_b[0], fn_b[1], fd_b[0], fd_b[1],
+                                     jnp.asarray(cloud), jnp.asarray(seeds),
+                                     fn_s, fd_s, 16))
+    # BatchNorm eval mode uses running stats -> no cross-seed coupling;
+    # sharded and single-device results must agree to float tolerance.
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_outlier_matches_single(rng):
+    mesh = parallel.data_parallel_mesh()
+    pts = rng.normal(size=(256, 3)).astype(np.float32)
+    pts[7] += 10.0  # one blatant outlier
+    valid = np.ones(256, bool)
+    got = np.asarray(sharded_outlier_mask(mesh, pts, valid, 1.5))
+    want = np.asarray(_outlier_mask(jnp.asarray(pts), jnp.asarray(valid),
+                                    1.5))
+    np.testing.assert_array_equal(got, want)
+    assert not got[7]
+
+
+def test_dp_training_step_on_mesh(bundles):
+    """The fd train step under an explicit 8-way batch sharding matches
+    the replicated result (grad psum correctness)."""
+    from sapcu_tpu.train import make_tx, make_fd_train_step
+
+    _, fd_b = bundles
+    params, state, cfg = fd_b
+    mesh = parallel.data_parallel_mesh()
+    tx = make_tx(params, optimizer="adamw", weight_decay=1e-4, grad_clip=0.1,
+                 snn_groups=False)
+    opt_state = tx.init(params)
+    step = make_fd_train_step(tx, cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 4, 16, 3)).astype(np.float32) * 0.1
+    gt = np.abs(rng.normal(size=(16, 4)).astype(np.float32)) * 0.01
+    lr = jnp.float32(1e-4)
+    key = jax.random.PRNGKey(0)
+
+    # single-device (default placement)
+    p1, o1, s1, loss1, g1, ok1 = step(params, opt_state, state,
+                                      jnp.asarray(x), jnp.asarray(gt), lr, key)
+
+    # sharded batch, replicated params
+    pr = parallel.replicate_tree(mesh, params)
+    orp = parallel.replicate_tree(mesh, opt_state)
+    sr = parallel.replicate_tree(mesh, state)
+    sh = parallel.batch_sharding(mesh)
+    xs = jax.device_put(jnp.asarray(x), sh)
+    gs = jax.device_put(jnp.asarray(gt), sh)
+    p2, o2, s2, loss2, g2, ok2 = step(pr, orp, sr, xs, gs, lr, key)
+
+    assert bool(ok1) and bool(ok2)
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-4)
+    a = jax.tree.leaves(p1)[0]
+    b = jax.tree.leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
