@@ -85,6 +85,8 @@ def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
     enc_p["conv_final"], enc_s["conv_final_bn"] = _fc_bn(next(ks), 64 * 3, emb_dims)
     enc_p["snn_final"] = snn.lif_init(emb_dims)
     enc_p["fc_out"] = fnn.dense_init(next(ks), emb_dims, 2048)
+    # telemetry: [snn_init rate, 3 block-output activities, snn_final rate]
+    enc_s["spike_rates"] = jnp.zeros((5,), jnp.float32)
 
     # StandardNormalDecoder: [1024, 512, 256] hardcoded (fn:523-540)
     dec_p, dec_s = params["dec"], state["dec"]
@@ -198,6 +200,9 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
                                              enc_s["conv_final_bn"], ms,
                                              training=training)
     g = snn.multi_step(enc_p["snn_final"], g, t, training=training)
+    new_s["spike_rates"] = jax.lax.stop_gradient(jnp.stack(
+        [jnp.mean(feats)] + [jnp.mean(f) for f in block_feats]
+        + [jnp.mean(g)]))
     g = jnp.max(g, axis=-2)                                    # [B, emb]
     return fnn.dense(enc_p["fc_out"], g), new_s
 

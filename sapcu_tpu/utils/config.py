@@ -155,6 +155,42 @@ def effective_fd_training(cfg: dict) -> dict:
     }
 
 
+def get_optimizer(params, cfg: dict, kind: str = "fn"):
+    """Factory-name parity with fn/config.py:233-298 / fd get_optimizer:
+    returns an optax transform with the reference's effective grouping
+    (fn: SNN params at 0.5x lr via the grouped update in train.steps;
+    fd: plain AdamW). The learning rate itself is applied per-step from
+    get_scheduler's output."""
+    from sapcu_tpu.train.optim import make_tx
+
+    t = cfg["training"]
+    if kind == "fn":
+        return make_tx(params, optimizer=t.get("optimizer", "adamw"),
+                       betas=tuple(t.get("betas", (0.9, 0.999))),
+                       eps=float(t.get("eps", 1e-8)),
+                       weight_decay=float(t.get("weight_decay", 0.0)),
+                       grad_clip=t.get("grad_clip"),
+                       grad_clip_type=t.get("grad_clip_type", "norm"),
+                       snn_groups=True)
+    eff = effective_fd_training(cfg)
+    return make_tx(params, optimizer=eff["optimizer"],
+                   betas=tuple(t.get("betas", (0.9, 0.999))),
+                   eps=float(t.get("eps", 1e-8)),
+                   weight_decay=eff["weight_decay"],
+                   grad_clip=eff["grad_clip"], snn_groups=False)
+
+
+def get_scheduler(cfg: dict, kind: str = "fn", steps_per_epoch: int = 1):
+    """(it, epoch) -> (lr, snn_lr) matching the reference's effective
+    schedules incl. quirks (fn/config.py:300-338 + trainfn.py:387-389;
+    trainfd.py:398-412)."""
+    from sapcu_tpu.train.optim import fd_schedule, fn_schedule
+
+    if kind == "fn":
+        return fn_schedule(cfg)
+    return fd_schedule(effective_fd_training(cfg), steps_per_epoch)
+
+
 def apply_platform_env() -> None:
     """Honor JAX_PLATFORMS even though the image pre-imports jax.
 
