@@ -22,6 +22,105 @@ from jax.experimental.pallas import tpu as pltpu
 
 _K = 10  # neighbours per voxel (dense.cpp kd.query(center, 10))
 
+_INV_SQRT_2PI = 0.3989422804014327
+_CLAMP = 10.0
+
+
+def _soft_spike(x, grad_width):
+    xc = jnp.clip(x, -_CLAMP, _CLAMP)
+    return (0.5 * jnp.exp(-0.5 * xc * xc) * _INV_SQRT_2PI
+            + 0.5 * jax.nn.sigmoid(grad_width * xc))
+
+
+def _make_lif_kernel(time_steps: int, kind: str, hard: bool,
+                     grad_width: float):
+    is_eif = kind == "eif"
+
+    def kernel(*refs):
+        if is_eif:
+            (x_ref, md_ref, ta_ref, rd_ref, tb_ref, dt_ref, trh_ref,
+             out_ref) = refs
+        else:
+            x_ref, md_ref, ta_ref, rd_ref, tb_ref, out_ref = refs
+        x = x_ref[:]                                     # [TR, C]
+        md = jnp.clip(md_ref[0, :], 0.1, 0.99)
+        ta = jnp.clip(ta_ref[0, :], 0.001, 0.1)
+        rd = jnp.clip(rd_ref[0, :], 0.1, 0.95)
+        tb = tb_ref[0, :]
+        if is_eif:
+            dt = jnp.clip(dt_ref[0, :], 0.1, 5.0)
+            trh = jnp.clip(trh_ref[0, :], 0.1, 2.0)
+
+        m = jnp.zeros_like(x)
+        th = jnp.broadcast_to(tb, x.shape)
+        r = jnp.zeros_like(x)
+        cur = x
+        for _ in range(time_steps):  # T <= 8: fully unrolled in VMEM
+            gated = cur * (r <= 0).astype(cur.dtype)
+            if is_eif:
+                exp_term = dt * jnp.exp(
+                    jnp.clip((m - trh) / (dt + 1e-6), -5.0, 5.0))
+                m = m * md * (1.0 - r) + gated + exp_term
+            else:
+                m = m * md * (1.0 - r) + gated
+            v = m - th
+            s = (v > 0).astype(cur.dtype) if hard else _soft_spike(
+                v, grad_width)
+            m = m * (1.0 - s)
+            r = r * rd + s
+            th = tb + (th + ta * s - tb) * 0.95
+            cur = s
+        out_ref[:] = cur
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("time_steps", "kind", "hard",
+                                             "grad_width", "tile",
+                                             "interpret"))
+def lif_multistep_pallas(params: dict, x: jax.Array, time_steps: int,
+                         kind: str = "lif", hard: bool = False,
+                         grad_width: float = 10.0, tile: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """Fused T-step spike-feedback neuron loop (inference path).
+
+    The TPU analog of the vendored spikingjelly fused multi-step neuron
+    CUDA kernels (external/SPT/spikingjelly/clock_driven/neuron_kernel.cu,
+    SURVEY.md §2.3 N7): the whole ``for t: x, state = cell(x, state)`` loop
+    of fn/snn_coder.py:319-335 runs in VMEM per tile — one HBM read of the
+    input and one write of the final spikes, instead of a scan carry
+    round-tripping T times. Forward-only; training uses the XLA scan with
+    the surrogate-gradient custom VJP.
+
+    x: [R, C] rows; params: per-channel dicts from snn.lif_init/eif_init.
+    ``hard`` selects binary spikes (training forward) vs the soft mixture
+    (eval forward, the reference quirk).
+    """
+    r, c = x.shape
+    pad = (-r) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    n_tiles = xp.shape[0] // tile
+    names = ["membrane_decay", "threshold_adapt", "refractory_decay",
+             "threshold_base"]
+    if kind == "eif":
+        names += ["delta_t", "theta_rh"]
+    pvecs = [params[n].reshape(1, c) for n in names]
+
+    space = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        _make_lif_kernel(time_steps, kind, hard, grad_width),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=space)]
+        + [pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=space)
+           for _ in pvecs],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        interpret=interpret,
+    )(xp, *pvecs)
+    return out[:r]
+
 
 def _kernel(centers_ref, points_ref, out_ref):
     c = centers_ref[:]                                   # [T, 3]

@@ -135,7 +135,30 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
 
     The spike output of step t is the INPUT of step t+1 and state threads
     with gradients (fn/snn_coder.py:319-335). Returns the final spike map.
+
+    Inference on TPU dispatches to the fused Pallas multi-step kernel
+    (ops/pallas_kernels.lif_multistep_pallas): the whole T-step loop runs
+    in VMEM per tile instead of a scan carry round-tripping HBM. Training
+    keeps the XLA scan (the surrogate-gradient custom VJP differentiates
+    through it).
     """
+    # Opt-in (SAPCU_PALLAS_SNN=1): the fused kernel is numerically exact
+    # but Mosaic compile time for the unrolled T-step body is minutes per
+    # (shape, T) variant, so the default stays on the XLA scan which
+    # fuses the elementwise body anyway.
+    import os
+    if not training and os.environ.get("SAPCU_PALLAS_SNN") == "1":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and x.ndim >= 2:
+            from sapcu_tpu.ops.pallas_kernels import lif_multistep_pallas
+            flat = x.reshape(-1, x.shape[-1])
+            out = lif_multistep_pallas(params, flat, time_steps, kind=kind,
+                                       hard=False, grad_width=grad_width)
+            return out.reshape(x.shape)
+
     step = lif_step if kind == "lif" else eif_step
 
     def body(carry, _):

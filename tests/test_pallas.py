@@ -26,3 +26,20 @@ def test_surface_distance_pallas_padding(rng):
     got = surface_distance_pallas(centers, pts, tile=16, interpret=True)
     want = surface_distance(centers, pts, chunk=16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_lif_multistep_pallas_parity(rng):
+    import jax.numpy as jnp2
+    from sapcu_tpu import snn
+    from sapcu_tpu.ops.pallas_kernels import lif_multistep_pallas
+
+    for kind in ["lif", "eif"]:
+        init = snn.lif_init if kind == "lif" else snn.eif_init
+        p = init(32)
+        x = jnp.asarray(rng.normal(size=(70, 32)).astype(np.float32) * 2)
+        for hard, training in [(False, False), (True, True)]:
+            want = snn.multi_step(p, x, 4, training=training, kind=kind)
+            got = lif_multistep_pallas(p, x, 4, kind=kind, hard=hard,
+                                       tile=16, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, err_msg=f"{kind}/{hard}")
