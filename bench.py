@@ -28,8 +28,11 @@ def main():
     fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
 
-    batch = 2048
-    up = Upsampler(fn_bundle, fd_bundle, batch_size=batch)
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    up = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
+                   compute_dtype=dtype)
 
     rng = np.random.default_rng(0)
     v = rng.normal(size=(2048, 3))

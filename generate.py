@@ -55,13 +55,18 @@ def load_models(args):
     return fn_bundle, fd_bundle
 
 
-def process_file(input_path, output_path, upsampler, target_points):
+def process_file(input_path, output_path, upsampler, target_points,
+                 passes: int = 1):
     """generate.py:81-101 semantics, device-resident until the final
     [target, 3] transfer (FPS runs on device; only the selected points
-    cross the slow tunnel)."""
+    cross the slow tunnel). passes > 1 re-runs the pipeline on its own
+    output (SNNPointCloudGenerator.multi_scale_upsample,
+    generation.py:205-220)."""
     cloud = np.loadtxt(input_path)[:, :3]
     norm, loc, scale = normalize_pointcloud(cloud)
     pts, n = upsampler.upsample_device(norm[None])
+    for _ in range(passes - 1):
+        pts, n = upsampler.upsample_device(np.asarray(pts[:n]))
     assert n >= target_points, \
         f"Generated {n} points, expected >= {target_points}"
     from sapcu_tpu.generate.pipeline import _fps_select
@@ -91,12 +96,18 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--k-neighbors", type=int, default=100)
     p.add_argument("--dense-spacing", type=float, default=0.004)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 runs the models at 2x MXU rate")
+    p.add_argument("--passes", type=int, default=1,
+                   help="multi-pass upsampling (SNNPointCloudGenerator)")
     args = p.parse_args()
 
     fn_bundle, fd_bundle = load_models(args)
     gen = Upsampler(fn_bundle, fd_bundle, k_neighbors=args.k_neighbors,
                     dense_spacing=args.dense_spacing,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    compute_dtype=args.compute_dtype)
 
     jobs = []
     if args.input:
@@ -134,7 +145,7 @@ def main():
     total_t, total_pts = 0.0, 0
     for i, (src, dst, tgt) in enumerate(jobs):
         t0 = time.time()
-        n = process_file(src, dst, gen, tgt)
+        n = process_file(src, dst, gen, tgt, passes=args.passes)
         dt = time.time() - t0
         total_t += dt
         total_pts += tgt

@@ -40,29 +40,46 @@ _XHAT = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s",
-                                             "k_neighbors"))
+                                             "k_neighbors", "compute_dtype"))
 def refine_chunk(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
-                 fn_cfg_s, fd_cfg_s, k_neighbors: int):
+                 fn_cfg_s, fd_cfg_s, k_neighbors: int,
+                 compute_dtype: str = "float32"):
     """One fused seeds->patches->fn->rotate->fd->move step for a fixed-size
-    seed tile [C, 3]. Returns moved points [C, 3]."""
+    seed tile [C, 3]. Returns moved points [C, 3].
+
+    compute_dtype="bfloat16" runs the two models in bf16 (f32 MXU
+    accumulation, geometry — kNN, rotations, the final move — stays f32):
+    ~2x MXU throughput and half the activation bandwidth for a small,
+    documented accuracy cost.
+    """
     fn_cfg, fd_cfg = dict(fn_cfg_s), dict(fd_cfg_s)
     k = min(k_neighbors, cloud.shape[0])
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, tree)
+
+    if compute_dtype != "float32":
+        fn_params, fn_state = cast(fn_params), cast(fn_state)
+        fd_params, fd_state = cast(fd_params), cast(fd_state)
 
     d = ops.pairwise_sqdist(seed_tile, cloud)
     _, idx = jax.lax.top_k(-d, k)
     patch = cloud[idx] - seed_tile[:, None, :]              # [C, k, 3]
 
-    normals, _ = fnm.fn_apply(fn_params, fn_state, patch, fn_cfg,
+    normals, _ = fnm.fn_apply(fn_params, fn_state, patch.astype(cdt), fn_cfg,
                               training=False)
+    normals = normals.astype(jnp.float32)
     normals = normals / jnp.maximum(
         jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
 
     rot = ops.rotation_to_target(normals, _XHAT)
     rotated = ops.rotate_points(rot, patch)
 
-    dist, _, _ = fdm.fd_apply(fd_params, fd_state, rotated, fd_cfg,
-                              training=False)
-    return seed_tile + normals * dist[:, None]
+    dist, _, _ = fdm.fd_apply(fd_params, fd_state, rotated.astype(cdt),
+                              fd_cfg, training=False)
+    return seed_tile + normals * dist[:, None].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -110,7 +127,7 @@ class Upsampler:
     def __init__(self, fn_bundle, fd_bundle, k_neighbors: int = 100,
                  dense_spacing: float = 0.004,
                  outlier_threshold: float = 1.5, batch_size: int = 256,
-                 seed_chunk: int = 8192):
+                 seed_chunk: int = 8192, compute_dtype: str = "float32"):
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
         self.fn_cfg_s = tuple(sorted(fn_cfg.items()))
@@ -120,6 +137,7 @@ class Upsampler:
         self.outlier_threshold = outlier_threshold
         self.batch_size = batch_size
         self.seed_chunk = seed_chunk
+        self.compute_dtype = compute_dtype
 
     def upsample(self, data: np.ndarray) -> np.ndarray:
         """[N, 3] or [1, N, 3] normalized cloud -> [M, 3] upsampled (host).
@@ -172,7 +190,8 @@ class Upsampler:
             moved_tiles.append(refine_chunk(
                 self.fn_params, self.fn_state, self.fd_params, self.fd_state,
                 cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i, c),
-                self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors))
+                self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors,
+                self.compute_dtype))
         moved = jnp.concatenate(moved_tiles, axis=0)
 
         valid = jnp.arange(moved.shape[0]) < n_seeds

@@ -40,9 +40,13 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def dense(params: dict, x: jax.Array) -> jax.Array:
-    y = jnp.matmul(x, params["kernel"], preferred_element_type=x.dtype)
+    # mixed-precision safe: inputs may be bf16, accumulation stays f32 on
+    # the MXU, output returns to the compute dtype
+    kernel = params["kernel"].astype(x.dtype)
+    y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
     if "bias" in params:
-        y = y + params["bias"]
+        y = y + params["bias"].astype(x.dtype)
     return y
 
 
