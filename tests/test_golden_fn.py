@@ -30,7 +30,7 @@ def torch_soft_spike(x, w=10.0):
             + 0.5 * torch.sigmoid(w * xc))
 
 
-def lif_multi(p, x, steps):
+def lif_multi(p, x, steps, hard=False):
     md = torch.clamp(t(p["membrane_decay"]), 0.1, 0.99)
     ta = torch.clamp(t(p["threshold_adapt"]), 0.001, 0.1)
     rd = torch.clamp(t(p["refractory_decay"]), 0.1, 0.95)
@@ -42,7 +42,7 @@ def lif_multi(p, x, steps):
     for _ in range(steps):
         g = cur * (r <= 0).float()
         m = m * md * (1 - r) + g
-        s = torch_soft_spike(m - th)
+        s = (m - th > 0).float() if hard else torch_soft_spike(m - th)
         m = m * (1 - s)
         r = r * rd + s
         th = tb + (th + ta * s - tb) * 0.95
@@ -55,9 +55,17 @@ def dense(p, x):
     return y + t(p["bias"]) if "bias" in p else y
 
 
+TRAIN = False  # module-level mode switch for the oracle
+
+
 def bn(p, s, x, eps=1e-5):
-    return ((x - t(s["mean"])) / torch.sqrt(t(s["var"]) + eps)
-            * t(p["scale"]) + t(p["bias"]))
+    if TRAIN:
+        axes = tuple(range(x.dim() - 1))
+        mean = x.mean(dim=axes)
+        var = x.var(dim=axes, unbiased=False)
+    else:
+        mean, var = t(s["mean"]), t(s["var"])
+    return (x - mean) / torch.sqrt(var + eps) * t(p["scale"]) + t(p["bias"])
 
 
 def fc_bn(p, s, x):
@@ -73,10 +81,10 @@ def block(p, s, xyz, feats, k):
     pos_diff = xyz.unsqueeze(2) - knn_xyz
 
     pre = feats
-    h = lif_multi(p["snn1"], fc_bn(p["fc1"], s["fc1_bn"], feats), BLOCK_T)
-    q = lif_multi(p["snn_q"], fc_bn(p["w_qs"], s["w_qs_bn"], h), BLOCK_T)
-    kf = lif_multi(p["snn_k"], fc_bn(p["w_ks"], s["w_ks_bn"], h), BLOCK_T)
-    v = lif_multi(p["snn_v"], fc_bn(p["w_vs"], s["w_vs_bn"], h), BLOCK_T)
+    h = lif_multi(p["snn1"], fc_bn(p["fc1"], s["fc1_bn"], feats), BLOCK_T, TRAIN)
+    q = lif_multi(p["snn_q"], fc_bn(p["w_qs"], s["w_qs_bn"], h), BLOCK_T, TRAIN)
+    kf = lif_multi(p["snn_k"], fc_bn(p["w_ks"], s["w_ks_bn"], h), BLOCK_T, TRAIN)
+    v = lif_multi(p["snn_v"], fc_bn(p["w_vs"], s["w_vs_bn"], h), BLOCK_T, TRAIN)
 
     dm = q.shape[-1]
     kg = torch.gather(kf.unsqueeze(1).expand(b, n, n, dm), 2,
@@ -85,13 +93,14 @@ def block(p, s, xyz, feats, k):
                       idx.unsqueeze(-1).expand(b, n, k, dm))
 
     pe = lif_multi(p["snn_delta"],
-                   fc_bn(p["fc_delta"], s["fc_delta_bn"], pos_diff), BLOCK_T)
+                   fc_bn(p["fc_delta"], s["fc_delta_bn"], pos_diff), BLOCK_T,
+                   TRAIN)
     pe = lif_multi(p["snn_delta2"],
-                   fc_bn(p["fc_delta2"], s["fc_delta2_bn"], pe), BLOCK_T)
+                   fc_bn(p["fc_delta2"], s["fc_delta2_bn"], pe), BLOCK_T, TRAIN)
 
     ai = q.unsqueeze(2) - kg + pe
     at = lif_multi(p["snn_gamma"],
-                   fc_bn(p["fc_gamma"], s["fc_gamma_bn"], ai), BLOCK_T)
+                   fc_bn(p["fc_gamma"], s["fc_gamma_bn"], ai), BLOCK_T, TRAIN)
     at = fc_bn(p["fc_gamma2"], s["fc_gamma2_bn"], at)
 
     hd = dm // HEADS
@@ -107,7 +116,8 @@ def block(p, s, xyz, feats, k):
 def torch_fn_forward(params, state, x_np):
     ep, es = params["enc"], state["enc"]
     x = t(x_np)
-    feats = lif_multi(ep["snn_init"], fc_bn(ep["conv1"], es["conv1_bn"], x), T)
+    feats = lif_multi(ep["snn_init"], fc_bn(ep["conv1"], es["conv1_bn"], x), T,
+                      TRAIN)
     outs = []
     cur = feats
     for bp, bs, k in zip(ep["blocks"], es["blocks"], KV):
@@ -115,7 +125,7 @@ def torch_fn_forward(params, state, x_np):
         outs.append(cur)
     ms = torch.cat(outs, dim=-1)
     g = lif_multi(ep["snn_final"],
-                  fc_bn(ep["conv_final"], es["conv_final_bn"], ms), T)
+                  fc_bn(ep["conv_final"], es["conv_final_bn"], ms), T, TRAIN)
     g = g.max(dim=-2).values
     feat = dense(ep["fc_out"], g)
 
@@ -129,7 +139,13 @@ def torch_fn_forward(params, state, x_np):
     return F.normalize(h, dim=-1)
 
 
-def test_fn_eval_forward_matches_torch_oracle(rng):
+import pytest
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_fn_forward_matches_torch_oracle(training, rng):
+    global TRAIN
+    TRAIN = training
     params, state, cfg = models.init_fn_model(
         jax.random.PRNGKey(11), k_values=KV, emb_dims=EMB,
         time_steps_enc=T, num_heads=HEADS)
@@ -140,8 +156,9 @@ def test_fn_eval_forward_matches_torch_oracle(rng):
 
     x = (rng.normal(size=(2, 12, 3)) * 0.3).astype(np.float32)
     got, _ = models.fn_apply(params, state, jnp.asarray(x), cfg,
-                             training=False)
+                             training=training)
     ph = jax.tree.map(np.asarray, params)
     sh = jax.tree.map(np.asarray, state)
     want = torch_fn_forward(ph, sh, x).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-4)
+    TRAIN = False
