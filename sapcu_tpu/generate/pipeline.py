@@ -179,24 +179,32 @@ class Upsampler:
         if n_seeds == 0:
             return jnp.zeros((1, 3), jnp.float32), 0
         c = self.batch_size
-        cap = seed_pts.shape[0]
-        pad = (-cap) % c
-        if pad:
-            seed_pts = jnp.pad(seed_pts, ((0, pad), (0, 0)))
         cloud_j = jnp.asarray(cloud, dtype=jnp.float32)
 
+        # only refine chunks containing valid seeds (the buffer capacity is
+        # a power-of-two bucket, often ~2x the count — skipping pad chunks
+        # halves the hot-loop work)
+        n_chunks = -(-n_seeds // c)
+        if seed_pts.shape[0] < n_chunks * c:
+            seed_pts = jnp.pad(seed_pts,
+                               ((0, n_chunks * c - seed_pts.shape[0]), (0, 0)))
         moved_tiles = []
-        for i in range(0, seed_pts.shape[0], c):
+        for i in range(n_chunks):
             moved_tiles.append(refine_chunk(
                 self.fn_params, self.fn_state, self.fd_params, self.fd_state,
-                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i, c),
+                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i * c, c),
                 self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors,
                 self.compute_dtype))
         moved = jnp.concatenate(moved_tiles, axis=0)
+        cap = _bucket(n_seeds)
+        if moved.shape[0] < cap:
+            moved = jnp.pad(moved, ((0, cap - moved.shape[0]), (0, 0)))
+        else:
+            moved = moved[:cap]
 
-        valid = jnp.arange(moved.shape[0]) < n_seeds
+        valid = jnp.arange(cap) < n_seeds
         keep = _outlier_mask(moved, valid, self.outlier_threshold)
-        out, n_keep = _compact(moved, keep, _bucket(n_seeds))
+        out, n_keep = _compact(moved, keep, cap)
         return out, int(n_keep)
 
     def refine(self, cloud: np.ndarray, seed_pts: np.ndarray) -> np.ndarray:
