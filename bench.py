@@ -49,7 +49,7 @@ def main():
     print(f"# warmup: {n} pts in {warm:.1f}s", file=sys.stderr)
 
     # steady state: time full pipeline end-to-end (seeds + refine + filter)
-    reps = 3
+    reps = int(os.environ.get("BENCH_REPS", 1))
     t0 = time.time()
     n_out = 0
     for i in range(1, reps + 1):
