@@ -39,9 +39,7 @@ from sapcu_tpu.ops import seeds as seeds_mod
 _XHAT = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s",
-                                             "k_neighbors", "compute_dtype"))
-def refine_chunk(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
+def _refine_body(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
                  fn_cfg_s, fd_cfg_s, k_neighbors: int,
                  compute_dtype: str = "float32"):
     """One fused seeds->patches->fn->rotate->fd->move step for a fixed-size
@@ -80,6 +78,32 @@ def refine_chunk(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
     dist, _, _ = fdm.fd_apply(fd_params, fd_state, rotated.astype(cdt),
                               fd_cfg, training=False)
     return seed_tile + normals * dist[:, None].astype(jnp.float32)
+
+
+refine_chunk = functools.partial(
+    jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s", "k_neighbors",
+                              "compute_dtype"))(_refine_body)
+
+
+@functools.partial(jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s",
+                                             "k_neighbors", "compute_dtype",
+                                             "chunk"))
+def refine_mega(fn_params, fn_state, fd_params, fd_state, cloud, seeds,
+                fn_cfg_s, fd_cfg_s, k_neighbors: int,
+                compute_dtype: str = "float32", chunk: int = 1024):
+    """Refine a mega-tile of seeds [M, 3] (M a multiple of ``chunk``) as ONE
+    dispatch: a lax.map over chunk-sized tiles inside a single jitted call.
+    Peak memory equals one chunk's activations (map is sequential), while
+    the host pays one dispatch per mega-tile instead of per chunk — the
+    stdio-relayed tunnel makes per-dispatch latency expensive."""
+    tiles = seeds.reshape(-1, chunk, 3)
+
+    def body(tile):
+        return _refine_body(fn_params, fn_state, fd_params, fd_state,
+                            cloud, tile, fn_cfg_s, fd_cfg_s, k_neighbors,
+                            compute_dtype)
+
+    return jax.lax.map(body, tiles).reshape(-1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -127,7 +151,8 @@ class Upsampler:
     def __init__(self, fn_bundle, fd_bundle, k_neighbors: int = 100,
                  dense_spacing: float = 0.004,
                  outlier_threshold: float = 1.5, batch_size: int = 256,
-                 seed_chunk: int = 8192, compute_dtype: str = "float32"):
+                 seed_chunk: int = 8192, compute_dtype: str = "float32",
+                 mega_chunks: int = 32):
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
         self.fn_cfg_s = tuple(sorted(fn_cfg.items()))
@@ -138,6 +163,7 @@ class Upsampler:
         self.batch_size = batch_size
         self.seed_chunk = seed_chunk
         self.compute_dtype = compute_dtype
+        self.mega_chunks = mega_chunks
 
     def upsample(self, data: np.ndarray) -> np.ndarray:
         """[N, 3] or [1, N, 3] normalized cloud -> [M, 3] upsampled (host).
@@ -183,18 +209,23 @@ class Upsampler:
 
         # only refine chunks containing valid seeds (the buffer capacity is
         # a power-of-two bucket, often ~2x the count — skipping pad chunks
-        # halves the hot-loop work)
-        n_chunks = -(-n_seeds // c)
-        if seed_pts.shape[0] < n_chunks * c:
+        # halves the hot-loop work); mega-tiles of `mega_chunks` chunks per
+        # dispatch bound host-side dispatch latency (<= ~(mega-1)*c waste
+        # on the last tile)
+        mega = self.mega_chunks * c
+        n_mega = -(-n_seeds // mega)
+        need = n_mega * mega
+        if seed_pts.shape[0] < need:
             seed_pts = jnp.pad(seed_pts,
-                               ((0, n_chunks * c - seed_pts.shape[0]), (0, 0)))
+                               ((0, need - seed_pts.shape[0]), (0, 0)))
         moved_tiles = []
-        for i in range(n_chunks):
-            moved_tiles.append(refine_chunk(
+        for i in range(n_mega):
+            moved_tiles.append(refine_mega(
                 self.fn_params, self.fn_state, self.fd_params, self.fd_state,
-                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i * c, c),
+                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i * mega,
+                                                      mega),
                 self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors,
-                self.compute_dtype))
+                self.compute_dtype, c))
         moved = jnp.concatenate(moved_tiles, axis=0)
         cap = _bucket(n_seeds)
         if moved.shape[0] < cap:
