@@ -108,7 +108,8 @@ def _apply_fc_bn(p, s, x, *, training):
     return fnn.bn_apply(p["bn"], s, y, training=training)
 
 
-def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng):
+def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
+                 remat=False):
     """One MultiHeadSNNTransformerBlock (fn/snn_coder.py:294-396).
 
     xyz: [B, N, 3]; features: [B, N, 64] -> ([B, N, 64], new_state).
@@ -126,29 +127,36 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng):
     pre = features
     x, new_s["fc1_bn"] = _apply_fc_bn(p["fc1"], s["fc1_bn"], features,
                                       training=training)
-    x = snn.multi_step(p["snn1"], x, _BLOCK_T, training=training)
+    x = snn.multi_step(p["snn1"], x, _BLOCK_T, training=training,
+                       remat=remat)
 
     q, new_s["w_qs_bn"] = _apply_fc_bn(p["w_qs"], s["w_qs_bn"], x, training=training)
-    q = snn.multi_step(p["snn_q"], q, _BLOCK_T, training=training)
+    q = snn.multi_step(p["snn_q"], q, _BLOCK_T, training=training,
+                       remat=remat)
     kf, new_s["w_ks_bn"] = _apply_fc_bn(p["w_ks"], s["w_ks_bn"], x, training=training)
-    kf = snn.multi_step(p["snn_k"], kf, _BLOCK_T, training=training)
+    kf = snn.multi_step(p["snn_k"], kf, _BLOCK_T, training=training,
+                       remat=remat)
     v, new_s["w_vs_bn"] = _apply_fc_bn(p["w_vs"], s["w_vs_bn"], x, training=training)
-    v = snn.multi_step(p["snn_v"], v, _BLOCK_T, training=training)
+    v = snn.multi_step(p["snn_v"], v, _BLOCK_T, training=training,
+                       remat=remat)
 
     k_g = ops.index_points(kf, idx)                            # [B, N, k, C]
     v_g = ops.index_points(v, idx)
 
     pos_enc, new_s["fc_delta_bn"] = _apply_fc_bn(p["fc_delta"], s["fc_delta_bn"],
                                                  pos_diff, training=training)
-    pos_enc = snn.multi_step(p["snn_delta"], pos_enc, _BLOCK_T, training=training)
+    pos_enc = snn.multi_step(p["snn_delta"], pos_enc, _BLOCK_T, training=training,
+                       remat=remat)
     pos_enc, new_s["fc_delta2_bn"] = _apply_fc_bn(p["fc_delta2"], s["fc_delta2_bn"],
                                                   pos_enc, training=training)
-    pos_enc = snn.multi_step(p["snn_delta2"], pos_enc, _BLOCK_T, training=training)
+    pos_enc = snn.multi_step(p["snn_delta2"], pos_enc, _BLOCK_T, training=training,
+                       remat=remat)
 
     attn_in = q[:, :, None, :] - k_g + pos_enc                 # [B, N, k, C]
     attn, new_s["fc_gamma_bn"] = _apply_fc_bn(p["fc_gamma"], s["fc_gamma_bn"],
                                               attn_in, training=training)
-    attn = snn.multi_step(p["snn_gamma"], attn, _BLOCK_T, training=training)
+    attn = snn.multi_step(p["snn_gamma"], attn, _BLOCK_T, training=training,
+                       remat=remat)
     attn, new_s["fc_gamma2_bn"] = _apply_fc_bn(p["fc_gamma2"], s["fc_gamma2_bn"],
                                                attn, training=training)
 
@@ -175,7 +183,8 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
 
     feats, new_s["conv1_bn"] = _apply_fc_bn(enc_p["conv1"], enc_s["conv1_bn"],
                                             x, training=training)
-    feats = snn.multi_step(enc_p["snn_init"], feats, t, training=training)
+    feats = snn.multi_step(enc_p["snn_init"], feats, t, training=training,
+                           remat=cfg.get("remat", True))
 
     rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
     block_feats, block_states = [], []
@@ -187,7 +196,8 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     for bp, bs, k, r in zip(enc_p["blocks"], enc_s["blocks"], cfg["k_values"], rngs):
         def block_fn(bp_, bs_, xyz_, cur_, _k=k, _r=r):
             return _block_apply(bp_, bs_, xyz_, cur_, _k, cfg["num_heads"],
-                                cfg["dropout"], training=training, rng=_r)
+                                cfg["dropout"], training=training, rng=_r,
+                                remat=remat)
         if remat:
             block_fn = jax.checkpoint(block_fn)
         cur, nbs = block_fn(bp, bs, x, cur)
@@ -199,7 +209,8 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     g, new_s["conv_final_bn"] = _apply_fc_bn(enc_p["conv_final"],
                                              enc_s["conv_final_bn"], ms,
                                              training=training)
-    g = snn.multi_step(enc_p["snn_final"], g, t, training=training)
+    g = snn.multi_step(enc_p["snn_final"], g, t, training=training,
+                       remat=cfg.get("remat", True))
     new_s["spike_rates"] = jax.lax.stop_gradient(jnp.stack(
         [jnp.mean(feats)] + [jnp.mean(f) for f in block_feats]
         + [jnp.mean(g)]))

@@ -130,7 +130,7 @@ def eif_step(params: dict, state: NeuronState, x: jax.Array, *,
 
 def multi_step(params: dict, x: jax.Array, time_steps: int, *,
                training: bool, grad_width: float = 10.0,
-               kind: str = "lif") -> jax.Array:
+               kind: str = "lif", remat: bool = False) -> jax.Array:
     """fn-style iteration: ``for t in T: x, state = cell(x, state)``.
 
     The spike output of step t is the INPUT of step t+1 and state threads
@@ -166,6 +166,11 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
         s, st = step(params, st, xc, training=training, grad_width=grad_width)
         return (s, st), None
 
+    if remat:
+        # recompute each step's elementwise chain in backward instead of
+        # storing T per-step activation maps (fn blocks at training batch
+        # sizes otherwise exceed a 16G chip)
+        body = jax.checkpoint(body)
     (out, _), _ = jax.lax.scan(body, (x, init_state(params, x)), None,
                                length=time_steps)
     return out
