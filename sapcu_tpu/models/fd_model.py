@@ -129,9 +129,24 @@ def init_fd_model(key, k: int = 32, emb_dims: int = 768, time_steps: int = 7,
 
 
 def _edge_block(p, bn_state, x, k, *, training):
-    """graph-feature -> 1x1 conv -> BN -> LeakyReLU -> max over k."""
-    g = ops.graph_feature(x, k=k)                       # [B, M, k, 2C]
-    h = fnn.dense(p["fc"], g)
+    """graph-feature -> 1x1 conv -> BN -> LeakyReLU -> max over k.
+
+    Computed by the factored identity
+        W @ [nb - x, nb] = (A + B) @ nb - A @ x,   W = [A; B]
+    so the matmuls run on [B, M, C] (k-fold fewer FLOPs than on the
+    [B, M, k, 2C] edge tensor) and only cheap gather+elementwise ops touch
+    the big intermediate. Exactly the reference edge conv
+    (fd/snn_coder.py:52-68 + conv) up to float reassociation.
+    """
+    c = x.shape[-1]
+    kernel = p["fc"]["kernel"]                           # [2C, C_out]
+    a, b = kernel[:c], kernel[c:]
+    q = jnp.matmul(x, a.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    pf = jnp.matmul(x, (a + b).astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    idx = ops.knn(x, k)
+    h = ops.index_points(pf, idx) - q[..., :, None, :]   # [B, M, k, C_out]
     h, bn_state = fnn.bn_apply(p["bn"], bn_state, h, training=training)
     h = fnn.leaky_relu(h, 0.2)
     return jnp.max(h, axis=-2), bn_state                 # [B, M, C_out]
