@@ -37,9 +37,6 @@ def test_native_cli_contract(tmp_path):
     """./seed_gen <cell> <n> reads test.xyz, writes target.xyz (the
     reference dense.cpp:180-184 file contract)."""
     build()
-    bin_path = os.path.join(os.path.dirname(
-        os.path.abspath(generate_seeds_native.__module__.replace(".", "/"))),
-        "")
     from sapcu_tpu import native as native_mod
     exe = os.path.join(os.path.dirname(native_mod.__file__), "seed_gen")
     pts = _sphere(500, 0.42, seed=3).astype(np.float64)
