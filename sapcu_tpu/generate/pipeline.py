@@ -152,7 +152,7 @@ class Upsampler:
                  dense_spacing: float = 0.004,
                  outlier_threshold: float = 1.5, batch_size: int = 256,
                  seed_chunk: int = 8192, compute_dtype: str = "float32",
-                 mega_chunks: int = 32):
+                 mega_chunks: int = 8):
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
         self.fn_cfg_s = tuple(sorted(fn_cfg.items()))
