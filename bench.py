@@ -29,7 +29,7 @@ def main():
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
 
     import os
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     up = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
                    compute_dtype=dtype)

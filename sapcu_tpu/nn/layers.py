@@ -67,19 +67,25 @@ def bn_apply(params: dict, state: dict, x: jax.Array, *, training: bool,
     """
     axes = tuple(range(x.ndim - 1))
     if training:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        # statistics always in f32 (torch autocast keeps BN in fp32 too)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "mean": ((1 - momentum) * state["mean"].astype(jnp.float32)
+                     + momentum * mean).astype(state["mean"].dtype),
+            "var": ((1 - momentum) * state["var"].astype(jnp.float32)
+                    + momentum * unbiased).astype(state["var"].dtype),
         }
     else:
-        mean, var = state["mean"], state["var"]
+        mean, var = (state["mean"].astype(jnp.float32),
+                     state["var"].astype(jnp.float32))
         new_state = state
     inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv * params["scale"] + params["bias"]
+    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype) \
+        * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
     return y, new_state
 
 

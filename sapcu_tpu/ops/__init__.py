@@ -11,6 +11,7 @@ from sapcu_tpu.ops.pointops import (
     knn,
     knn_tiled,
     index_points,
+    index_points_matmul,
     graph_feature,
     farthest_point_sample,
     farthest_point_sample_masked,
@@ -26,6 +27,7 @@ __all__ = [
     "knn",
     "knn_tiled",
     "index_points",
+    "index_points_matmul",
     "graph_feature",
     "farthest_point_sample",
     "farthest_point_sample_masked",

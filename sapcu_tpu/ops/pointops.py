@@ -87,14 +87,33 @@ def knn(points: jax.Array, k: int, queries: jax.Array | None = None) -> jax.Arra
     return idx
 
 
+def index_points_matmul(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Neighbour gather as a one-hot matmul: [B, N, C], [B, S, K] ->
+    [B, S, K, C].
+
+    TPU gather HLOs are slow (tens of ms for model-sized neighbour
+    gathers); a one-hot [S*K, N] times [N, C] runs on the MXU instead and
+    is exact (each output row sums exactly one source row). Profitable for
+    bf16 values with small source length N.
+    """
+    n = points.shape[-2]
+    oh = jax.nn.one_hot(idx, n, dtype=points.dtype)        # [B, S, K, N]
+    return jnp.einsum("...skn,...nc->...skc", oh, points)
+
+
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather point features by index.
 
     points: [B, N, C]; idx: [B, S] or [B, S, K] -> [B, S, C] / [B, S, K, C].
+    The [B, S, K] neighbour-gather dispatches to the one-hot-matmul path
+    for bf16 features from small point sets (the per-patch model case).
     """
     if idx.ndim == points.ndim - 1:  # [B, S]
         return jnp.take_along_axis(points, idx[..., None], axis=-2)
     if idx.ndim == points.ndim:  # [B, S, K]
+        if (points.dtype == jnp.bfloat16 and points.shape[-2] <= 128
+                and points.shape[-1] >= 8):
+            return index_points_matmul(points, idx)
         b, s, kk = idx.shape[-3], idx.shape[-2], idx.shape[-1]
         flat = idx.reshape(*idx.shape[:-2], s * kk)
         out = jnp.take_along_axis(points, flat[..., None], axis=-2)

@@ -72,7 +72,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             grad_clip_type=t_cfg.get("grad_clip_type", "norm"),
             snn_groups=True)
         sched = optim_mod.fn_schedule(cfg)
-        train_step = steps_mod.make_fn_train_step(tx, model_cfg)
+        train_step = steps_mod.make_fn_train_step(
+            tx, model_cfg, use_amp=bool(t_cfg.get("use_amp", False)))
         eval_step = steps_mod.make_fn_eval_step(model_cfg)
     else:
         eff = effective_fd_training(cfg)
@@ -84,7 +85,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             grad_clip=eff["grad_clip"], snn_groups=False)
         sched = optim_mod.fd_schedule(eff, steps_per_epoch)
         train_step = steps_mod.make_fd_train_step(
-            tx, model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)))
+            tx, model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)),
+            use_amp=bool(t_cfg.get("use_amp", False)))
         eval_step = steps_mod.make_fd_eval_step(
             model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)))
     opt_state = tx.init(params)

@@ -161,3 +161,18 @@ def test_fps_masked_matches_unmasked(rng):
     want = np.asarray(ops.farthest_point_sample(jnp.asarray(pts), 32))
     np.testing.assert_array_equal(got, want)
     assert got.max() < 100  # never selects pad rows
+
+
+def test_index_points_matmul_exact(rng):
+    pts = rng.normal(size=(2, 64, 32)).astype(np.float32)
+    idx = rng.integers(0, 64, size=(2, 10, 8)).astype(np.int32)
+    want = np.stack([pts[b][idx[b]] for b in range(2)])
+    got = np.asarray(ops.index_points_matmul(
+        jnp.asarray(pts).astype(jnp.bfloat16), jnp.asarray(idx)))
+    # one-hot matmul gathers are exact (single source row per output)
+    np.testing.assert_array_equal(got.astype(np.float32),
+                                  want.astype(jnp.bfloat16).astype(np.float32))
+    # the dispatching index_points agrees in bf16 too
+    got2 = np.asarray(ops.index_points(
+        jnp.asarray(pts).astype(jnp.bfloat16), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, got2)
