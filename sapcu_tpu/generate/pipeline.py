@@ -10,11 +10,11 @@ reference (per cloud):                     this module:
   fd forward per chunk                ->   fd_apply in the same jitted chunk fn
   host outlier filter (sklearn 30-NN) ->   tiled 30-NN on device + masked stats
 
-Compilation discipline: the per-chunk refine function has a FIXED shape
-(batch_size seeds x k_neighbors), compiled once per cloud size and re-
-dispatched from a host loop (async dispatch keeps the device busy); the
-outlier stage pads its reference set to power-of-two buckets so a whole
-PU1K sweep triggers only a handful of compiles.
+Compilation discipline: the refine step has a FIXED shape (mega-tiles of
+``mega_chunks`` x batch_size seeds, a lax.map over chunk tiles inside one
+jitted program), compiled once per cloud size and re-dispatched from a
+host loop; the outlier stage pads its reference set to power-of-two
+buckets so a whole PU1K sweep triggers only a handful of compiles.
 
 Semantics preserved (generation.py):
 - k_neighbors=100 patches, centered on the seed (:127-129)
