@@ -26,12 +26,13 @@ def build(force: bool = False) -> str:
         return (not os.path.exists(target)
                 or os.path.getmtime(target) < os.path.getmtime(_SRC))
 
+    # Portable -O3 (no -march=native): artifacts are built lazily per host
+    # and gitignored, so they must run wherever they land.
     if force or stale(_LIB):
-        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC",
                         "-DSEED_GEN_NO_MAIN", "-o", _LIB, _SRC], check=True)
     if force or stale(_BIN):
-        subprocess.run(["g++", "-O3", "-march=native", "-o", _BIN, _SRC],
-                       check=True)
+        subprocess.run(["g++", "-O3", "-o", _BIN, _SRC], check=True)
     return _LIB
 
 

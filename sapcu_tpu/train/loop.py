@@ -73,7 +73,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             snn_groups=True)
         sched = optim_mod.fn_schedule(cfg)
         train_step = steps_mod.make_fn_train_step(
-            tx, model_cfg, use_amp=bool(t_cfg.get("use_amp", False)))
+            tx, model_cfg, use_amp=bool(t_cfg.get("use_amp", False)),
+            accum_steps=int(t_cfg.get("gradient_accumulation", 1)))
         eval_step = steps_mod.make_fn_eval_step(model_cfg)
     else:
         eff = effective_fd_training(cfg)
@@ -95,6 +96,7 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                         model_state=model_state)
     epoch_it, it = 0, 0
     metric_val_best = float("inf")
+    best_it = 0  # patience anchor for early stopping
     resume_file = (cfg.get("checkpoint", {}).get("resume_file", "model_best.pt")
                    if kind == "fn" else "model_best.pt")
     if resume and ckpt.exists(resume_file):
@@ -106,6 +108,11 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             epoch_it = int(scalars.get("epoch_it", 0))
             it = int(scalars.get("it", 0))
             metric_val_best = float(scalars.get("loss_val_best", float("inf")))
+            # Anchor the patience clock at the resumed iteration — the
+            # reference counts no-improvement from process start
+            # (trainfn.py:391-401); without this a resumed run with
+            # it >= patience would early-stop at its first validation.
+            best_it = it
             logger.message(f"Resumed from {resume_file}: it={it} "
                            f"best={metric_val_best:.6f}")
         except Exception as e:  # reference logs and continues fresh
@@ -135,6 +142,7 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             else:
                 m, carry = eval_step(params, model_state, batch["input"],
                                      batch["len"], carry)
+            m = jax.device_get(m)  # one pull per val batch
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
@@ -153,6 +161,33 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
     losses: list[float] = []
     summary: dict = {}
 
+    # Deferred device scalars: the hot loop never blocks on a device->host
+    # pull (the reference's float(loss) every step would serialize each
+    # iteration on the transfer; on this runtime's stdio-relayed TPU tunnel
+    # that dominates wall time). One device_get per print_every window.
+    pending: list[tuple] = []  # (it, lr, (loss, gnorm, ok, rates|None))
+
+    def flush_pending():
+        nonlocal pending
+        if not pending:
+            return
+        host = jax.device_get([p[2] for p in pending])
+        for (it_i, lr_i, _), (loss_i, gnorm_i, ok_i, rates_i) in zip(
+                pending, host):
+            loss_f = float(loss_i)
+            if not bool(ok_i):
+                logger.message(f"WARNING: non-finite grads at it={it_i}, "
+                               "step skipped")
+            losses.append(loss_f)
+            logger.add_scalar("train/loss", loss_f, it_i)
+            logger.add_scalar("train/lr", lr_i, it_i)
+            if rates_i is not None:
+                logger.add_scalar("train/grad_norm", float(gnorm_i), it_i)
+                for bi, r in enumerate(np.asarray(rates_i)):
+                    logger.add_scalar(f"snn/spike_rate_block{bi}",
+                                      float(r), it_i)
+        pending = []
+
     try:
         while not stop:
             epoch_it += 1
@@ -165,7 +200,7 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                     batch = parallel.shard_batch(mesh, batch)
                 rng_key, step_rng = jax.random.split(rng_key)
                 if kind == "fn":
-                    (params, opt_state, model_state, loss, conf, gnorm,
+                    (params, opt_state, model_state, loss, _conf, gnorm,
                      ok) = train_step(params, opt_state, model_state,
                                       batch["input"], batch["normal"],
                                       lr, snn_lr, step_rng)
@@ -174,22 +209,10 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                      ok) = train_step(params, opt_state, model_state,
                                       batch["input"], batch["len"],
                                       lr, step_rng)
-                    conf = None
-                loss_v = float(loss)
-                if not bool(ok):
-                    logger.message(f"WARNING: non-finite grads at it={it}, "
-                                   "step skipped")
-                losses.append(loss_v)
-                logger.add_scalar("train/loss", loss_v, it)
-                logger.add_scalar("train/lr", lr, it)
-                if it % 100 == 0:
-                    logger.add_scalar("train/grad_norm", float(gnorm), it)
-                    rates = model_state.get("enc", {}).get("spike_rates")
-                    if rates is not None:  # live snn/* telemetry (the
-                        # reference's hook at trainfn.py:245-249 is dead)
-                        for bi, r in enumerate(np.asarray(rates)):
-                            logger.add_scalar(f"snn/spike_rate_block{bi}",
-                                              float(r), it)
+                rates = (model_state.get("enc", {}).get("spike_rates")
+                         if it % 100 == 0 else None)  # live snn/* telemetry
+                # (the reference's hook at trainfn.py:245-249 is dead)
+                pending.append((it, lr, (loss, gnorm, ok, rates)))
 
                 if profile_cfg and it == profile_start:
                     jax.profiler.start_trace(profile_dir)
@@ -199,12 +222,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                     logger.message("profiler trace stopped")
 
                 if print_every > 0 and it % print_every == 0:
+                    flush_pending()
                     avg = np.mean(losses[-print_every:])
                     sps = it * batch_size / max(time.time() - start, 1e-9)
                     logger.message(
                         f"[Epoch {epoch_it:03d}] it={it:06d}, "
-                        f"loss={loss_v:.6f} (avg: {avg:.6f}), lr={lr:.2e}, "
-                        f"samples/s={sps:.1f}")
+                        f"loss={losses[-1]:.6f} (avg: {avg:.6f}), "
+                        f"lr={lr:.2e}, samples/s={sps:.1f}")
 
                 if checkpoint_every > 0 and it % checkpoint_every == 0:
                     if kind == "fn":
@@ -216,21 +240,22 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                     save(f"backup_model_{it:06d}.pt")
 
                 if validate_every > 0 and it % validate_every == 0:
+                    flush_pending()
                     metrics = run_validation()
                     metric_val = metrics["loss"]
                     logger.add_scalars("val", metrics, it)
                     logger.message(f"Validation at it={it}: " + ", ".join(
                         f"{k}={v:.6f}" for k, v in metrics.items()))
-                    if metric_val < metric_val_best:
-                        improved = metric_val < metric_val_best - min_delta
+                    # reference gates BOTH the best checkpoint and the
+                    # patience reset on a min_delta improvement
+                    # (trainfn.py:391-401)
+                    if metric_val < metric_val_best - min_delta:
                         metric_val_best = metric_val
                         logger.message(
                             f"New best model! Loss: {metric_val_best:.6f}")
                         save("model_best.pt")
-                        if improved:
-                            summary["best_it"] = it
-                    if early_stopping and it - summary.get("best_it", 0) \
-                            >= patience:
+                        best_it = it
+                    if early_stopping and it - best_it >= patience:
                         logger.message(
                             f"Early stopping at it={it} (patience {patience})")
                         stop = True
@@ -239,8 +264,10 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                 if it >= max_it:
                     stop = True
                     break
+        flush_pending()
         save("model_final.pt")
     except KeyboardInterrupt:
+        flush_pending()
         logger.message("Training interrupted by user. Saving checkpoint...")
         save("model_interrupt.pt")
     except Exception as e:
@@ -251,8 +278,14 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             pass
         raise
     finally:
+        try:
+            flush_pending()
+        except Exception:
+            pass
         logger.close()
 
+    if best_it:
+        summary["best_it"] = best_it
     summary.update({"it": it, "epoch_it": epoch_it,
                     "loss_val_best": metric_val_best,
                     "final_loss": losses[-1] if losses else float("nan"),

@@ -52,16 +52,16 @@ def make_fd_train_step(tx, cfg: dict, beta: float = 0.1,
     def step(params, opt_state, model_state, batch_input, batch_len,
              lr, rng):
         def loss_fn(p):
+            # model_state (BatchNorm running stats) stays f32 even under
+            # AMP — torch autocast keeps BN buffers fp32 too, and bn_apply
+            # computes statistics in f32 regardless of activation dtype.
             if use_amp:
                 p = _amp_cast(p, cdt)
-                ms = _amp_cast(model_state, cdt)
                 x = batch_input.astype(cdt)
             else:
-                ms, x = model_state, batch_input
-            pred, new_state, _ = fd_apply(p, ms, x, cfg,
+                x = batch_input
+            pred, new_state, _ = fd_apply(p, model_state, x, cfg,
                                           training=True, rng=rng)
-            if use_amp:
-                new_state = _amp_cast(new_state, jnp.float32)
             return fd_loss(pred.astype(jnp.float32), batch_len, beta), \
                 new_state
 
@@ -98,36 +98,63 @@ def make_fd_eval_step(cfg: dict, beta: float = 0.1):
 
 
 def make_fn_train_step(tx, cfg: dict, consistency_weight: float = 0.15,
-                       k_neighbors: int = 8, use_amp: bool = False):
+                       k_neighbors: int = 8, use_amp: bool = False,
+                       accum_steps: int = 1):
+    """fn train step; with accum_steps > 1 the batch (size accum*micro) is
+    split into micro-batches and gradients are accumulated in a lax.scan
+    before the single optimizer update — the reference's grad-accum
+    semantics (fn/trainer.py:81-126: loss / gradient_accumulation summed
+    over micro-batches, clip + step every accum batches). BN batch stats
+    are computed per micro-batch, as the reference's forwards do."""
     cdt = jnp.bfloat16 if use_amp else jnp.float32
 
     @jax.jit
     def step(params, opt_state, model_state, batch_input, batch_normal,
              lr, snn_lr, rng):
-        gt = batch_normal / jnp.maximum(
-            jnp.linalg.norm(batch_normal, axis=-1, keepdims=True), 1e-12)
-
-        def loss_fn(p):
-            if use_amp:
-                p = _amp_cast(p, cdt)
-                ms = _amp_cast(model_state, cdt)
-                x = batch_input.astype(cdt)
-            else:
-                ms, x = model_state, batch_input
-            pred, new_state = fn_apply(p, ms, x, cfg,
-                                       training=True, rng=rng)
+        def loss_fn(p, ms, x, n, r):
+            gt = n / jnp.maximum(
+                jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+            # BN running stats stay f32 under AMP (see make_fd_train_step)
+            xc = x.astype(cdt) if use_amp else x
+            pred, new_state = fn_apply(_amp_cast(p, cdt) if use_amp else p,
+                                       ms, xc, cfg, training=True, rng=r)
             pred = pred.astype(jnp.float32)
-            if use_amp:
-                new_state = _amp_cast(new_state, jnp.float32)
             pred = pred / jnp.maximum(
                 jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
-            loss, conf = fn_loss(pred, gt, batch_input,
+            loss, conf = fn_loss(pred, gt, x,
                                  consistency_weight=consistency_weight,
                                  k_neighbors=k_neighbors)
             return loss, (new_state, conf)
 
-        (loss, (new_state, conf)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps > 1:
+            b = batch_input.shape[0]
+            micro = b // accum_steps
+            assert micro * accum_steps == b, (
+                f"batch {b} not divisible by gradient_accumulation "
+                f"{accum_steps}")
+            xs = batch_input.reshape((accum_steps, micro)
+                                     + batch_input.shape[1:])
+            ns = batch_normal.reshape((accum_steps, micro)
+                                      + batch_normal.shape[1:])
+            rngs = (jax.random.split(rng, accum_steps)
+                    if rng is not None else None)
+
+            def body(carry, inp):
+                ms, gacc = carry
+                x, n, r = inp
+                (l, (ms2, c)), g = grad_fn(params, ms, x, n, r)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (ms2, gacc), (l, c)
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (new_state, gsum), (ls, cs) = jax.lax.scan(
+                body, (model_state, zeros), (xs, ns, rngs))
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            loss, conf = jnp.mean(ls), jnp.mean(cs)
+        else:
+            (loss, (new_state, conf)), grads = grad_fn(
+                params, model_state, batch_input, batch_normal, rng)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = apply_updates_grouped(params, updates, lr, snn_lr)

@@ -158,3 +158,61 @@ def test_repo_configs_load():
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_fn_gradient_accumulation_matches_full_batch():
+    """accum=2 over a duplicated micro-batch == accum=1 over the full batch
+    (duplication makes per-micro BN batch stats equal to full-batch stats,
+    so the match is exact up to float assoc). Reference semantics:
+    fn/trainer.py:81-126 (loss / gradient_accumulation, step every accum)."""
+    from sapcu_tpu.train.steps import make_fn_train_step
+
+    params, state, cfg = models.init_fn_model(
+        jax.random.PRNGKey(0), k_values=(6, 6, 4), emb_dims=32,
+        time_steps_enc=2, num_heads=4)
+    tx = make_tx(params, optimizer="adamw", weight_decay=1e-4,
+                 grad_clip=0.1, snn_groups=True)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.normal(size=(2, 4, 8, 3)).astype(np.float32) * 0.1)
+    n1 = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    x = jnp.concatenate([x1, x1], axis=0)
+    n = jnp.concatenate([n1, n1], axis=0)
+
+    step1 = make_fn_train_step(tx, cfg, accum_steps=1)
+    step2 = make_fn_train_step(tx, cfg, accum_steps=2)
+    lr, snn_lr = jnp.float32(1e-3), jnp.float32(5e-4)
+    # rng=None disables dropout so the two paths see identical randomness
+    p1, o1, s1, l1, c1, g1, ok1 = step1(params, opt_state, state, x, n,
+                                        lr, snn_lr, None)
+    p2, o2, s2, l2, c2, g2, ok2 = step2(params, opt_state, state, x, n,
+                                        lr, snn_lr, None)
+    assert bool(ok1) and bool(ok2)
+    assert np.allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    assert np.allclose(float(g1), float(g2), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_amp_keeps_bn_state_f32():
+    """Under use_amp, BatchNorm running stats must stay float32
+    (ADVICE r1: the old restore-cast was a no-op and stats drifted bf16)."""
+    from sapcu_tpu.train.steps import make_fd_train_step
+
+    params, state, cfg = models.init_fd_model(
+        jax.random.PRNGKey(0), k=8, emb_dims=48, time_steps=2,
+        k_scales=(4, 8), num_heads=4)
+    tx = make_tx(params, optimizer="adamw", weight_decay=1e-4,
+                 grad_clip=0.1, snn_groups=False)
+    opt_state = tx.init(params)
+    step = make_fd_train_step(tx, cfg, use_amp=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 3)).astype(np.float32) * 0.1)
+    gt = jnp.asarray(np.abs(rng.normal(size=(2, 4)).astype(np.float32)) * 0.01)
+    _, _, s1, loss, _, ok = step(params, opt_state, state, x, gt,
+                                 jnp.float32(1e-4), jax.random.PRNGKey(1))
+    assert bool(ok) and np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(s1):
+        assert leaf.dtype == jnp.float32, leaf.dtype
