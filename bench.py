@@ -9,6 +9,10 @@ with the flagship (effective-hyperparameter) models and random weights
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the per-chip share of the north-star
 target (10M pts/s on v5e-8 -> 1.25M pts/s/chip, BASELINE.json).
+Refine-only throughput goes to stderr so round deltas are attributable.
+
+Env: BENCH_BATCH (default 1024 — the tuned refine chunk), BENCH_DTYPE
+(default bfloat16), BENCH_REPS, BENCH_MODE (exact|fast).
 """
 import json
 import sys
@@ -29,10 +33,11 @@ def main():
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
 
     import os
-    batch = int(os.environ.get("BENCH_BATCH", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    mode = os.environ.get("BENCH_MODE", "fast")
     up = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
-                   compute_dtype=dtype)
+                   compute_dtype=dtype, mode=mode)
 
     rng = np.random.default_rng(0)
     v = rng.normal(size=(2048, 3))
@@ -48,7 +53,20 @@ def main():
     warm = time.time() - t0
     print(f"# warmup: {n} pts in {warm:.1f}s", file=sys.stderr)
 
-    # steady state: time full pipeline end-to-end (seeds + refine + filter)
+    # refine-only throughput (seeds held fixed, the dominant stage)
+    import jax.numpy as jnp
+    from sapcu_tpu.ops import seeds as seeds_mod
+    seed_pts, n_seeds = seeds_mod.generate_seeds_device(cloud, cell=0.004)
+    t0 = time.time()
+    rpts, rn = up.refine_device(cloud, seed_pts, n_seeds)
+    rpts.block_until_ready()
+    t_refine = time.time() - t0
+    print(f"# refine-only: {n_seeds} seeds in {t_refine:.2f}s = "
+          f"{n_seeds / t_refine:.0f} seeds/s", file=sys.stderr)
+
+    # steady state: time full pipeline end-to-end (seeds + refine + filter).
+    # Reps rotate the SAME cloud (fixed seed-count bucket -> no recompiles;
+    # rotation shifts the voxel grid so the work is not cached).
     reps = int(os.environ.get("BENCH_REPS", 1))
     t0 = time.time()
     n_out = 0

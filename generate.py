@@ -101,13 +101,21 @@ def main():
                    help="bfloat16 runs the models at 2x MXU rate")
     p.add_argument("--passes", type=int, default=1,
                    help="multi-pass upsampling (SNNPointCloudGenerator)")
+    p.add_argument("--fast", action="store_true",
+                   help="probe-amortized fast mode: exact model evals on a "
+                        "coarse probe subset + tangent-plane projection for "
+                        "all seeds (~probe-factor^2 fewer model FLOPs)")
+    p.add_argument("--probe-factor", type=float, default=4.0,
+                   help="fast-mode probe spacing in units of dense-spacing")
     args = p.parse_args()
 
     fn_bundle, fd_bundle = load_models(args)
     gen = Upsampler(fn_bundle, fd_bundle, k_neighbors=args.k_neighbors,
                     dense_spacing=args.dense_spacing,
                     batch_size=args.batch_size,
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    mode="fast" if args.fast else "exact",
+                    probe_factor=args.probe_factor)
 
     jobs = []
     if args.input:

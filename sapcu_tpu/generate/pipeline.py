@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from sapcu_tpu import ops
 from sapcu_tpu.models import fd_model as fdm
 from sapcu_tpu.models import fn_model as fnm
@@ -41,9 +43,11 @@ _XHAT = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
 def _refine_body(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
                  fn_cfg_s, fd_cfg_s, k_neighbors: int,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", want_nd: bool = False):
     """One fused seeds->patches->fn->rotate->fd->move step for a fixed-size
-    seed tile [C, 3]. Returns moved points [C, 3].
+    seed tile [C, 3]. Returns moved points [C, 3], or with ``want_nd`` the
+    raw (normals [C, 3], distances [C]) pair for the probe-amortized fast
+    path.
 
     compute_dtype="bfloat16" runs the two models in bf16 (f32 MXU
     accumulation, geometry — kNN, rotations, the final move — stays f32):
@@ -77,20 +81,24 @@ def _refine_body(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
 
     dist, _, _ = fdm.fd_apply(fd_params, fd_state, rotated.astype(cdt),
                               fd_cfg, training=False)
-    return seed_tile + normals * dist[:, None].astype(jnp.float32)
+    dist = dist.astype(jnp.float32)
+    if want_nd:
+        return normals, dist
+    return seed_tile + normals * dist[:, None]
 
 
 refine_chunk = functools.partial(
     jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s", "k_neighbors",
-                              "compute_dtype"))(_refine_body)
+                              "compute_dtype", "want_nd"))(_refine_body)
 
 
 @functools.partial(jax.jit, static_argnames=("fn_cfg_s", "fd_cfg_s",
                                              "k_neighbors", "compute_dtype",
-                                             "chunk"))
+                                             "chunk", "want_nd"))
 def refine_mega(fn_params, fn_state, fd_params, fd_state, cloud, seeds,
                 fn_cfg_s, fd_cfg_s, k_neighbors: int,
-                compute_dtype: str = "float32", chunk: int = 1024):
+                compute_dtype: str = "float32", chunk: int = 1024,
+                want_nd: bool = False):
     """Refine a mega-tile of seeds [M, 3] (M a multiple of ``chunk``) as ONE
     dispatch: a lax.map over chunk-sized tiles inside a single jitted call.
     Peak memory equals one chunk's activations (map is sequential), while
@@ -101,17 +109,67 @@ def refine_mega(fn_params, fn_state, fd_params, fd_state, cloud, seeds,
     def body(tile):
         return _refine_body(fn_params, fn_state, fd_params, fd_state,
                             cloud, tile, fn_cfg_s, fd_cfg_s, k_neighbors,
-                            compute_dtype)
+                            compute_dtype, want_nd)
 
-    return jax.lax.map(body, tiles).reshape(-1, 3)
+    out = jax.lax.map(body, tiles)
+    if want_nd:
+        normals, dist = out
+        return normals.reshape(-1, 3), dist.reshape(-1)
+    return out.reshape(-1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def _outlier_mask(pts, valid, threshold, k: int = 30, chunk: int = 2048):
+# ------------------------------------------------------- fast (probe) mode
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _select_probes(seeds: jax.Array, valid: jax.Array, probe_cell,
+                   cap: int) -> tuple[jax.Array, jax.Array]:
+    """Voxel-dedup seed subset: one representative seed per probe_cell
+    voxel. Returns (probe points [cap, 3] padded with +1e3 sentinels so
+    pads never win a nearest-probe query, n_probes)."""
+    q = jnp.floor((seeds + 0.5) / probe_cell).astype(jnp.int32)
+    key = (((q[:, 0] & 1023) << 20) | ((q[:, 1] & 1023) << 10)
+           | (q[:, 2] & 1023))
+    key = jnp.where(valid, key, jnp.int32(2 ** 30))
+    order = jnp.argsort(key)
+    sk = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    first = first & (sk < 2 ** 30)
+    (pos,) = jnp.nonzero(first, size=cap, fill_value=-1)
+    probes = jnp.where((pos >= 0)[:, None], seeds[order[pos]], 1e3)
+    return probes, jnp.sum(first.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _interp_project(seeds: jax.Array, probes: jax.Array,
+                    p_normals: jax.Array, p_dists: jax.Array,
+                    chunk: int = 4096) -> jax.Array:
+    """Project each seed onto its nearest probe's tangent plane.
+
+    Per probe p the exact pipeline moved p to the surface point
+    p + n*d; the local first-order surface model is the plane through
+    that point with normal n, so a nearby seed s lands at
+        s + n * max(d + n.(p - s), 0)
+    (the clamp mirrors the exact path's Softplus >= 0 output). Pad probes
+    sit at +1e3 and never win the argmin.
+    """
+    s2 = seeds.reshape(-1, chunk, 3)
+
+    def one(tile):
+        d = ops.pairwise_sqdist(tile, probes)           # [chunk, P]
+        i = jnp.argmin(d, axis=-1)
+        p, n, dist = probes[i], p_normals[i], p_dists[i]
+        ds = jnp.maximum(dist + jnp.sum(n * (p - tile), axis=-1), 0.0)
+        return tile + n * ds[:, None]
+
+    return jax.lax.map(one, s2).reshape(-1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
+def _outlier_mask(pts, valid, threshold, k: int = 30, chunk: int = 2048,
+                  approx: bool = False):
     """Reference outlier rule (generation.py:177-183) with padding mask."""
     big = 1e3
     safe = jnp.where(valid[:, None], pts, big + pts)
-    d, _ = ops.knn_tiled(safe, safe, k=k, chunk=chunk)
+    d, _ = ops.knn_tiled(safe, safe, k=k, chunk=chunk, approx=approx)
     d = jnp.sqrt(jnp.maximum(d, 0.0))
     avg = jnp.mean(d, axis=-1)
     nvalid = jnp.maximum(jnp.sum(valid), 1)
@@ -152,7 +210,16 @@ class Upsampler:
                  dense_spacing: float = 0.004,
                  outlier_threshold: float = 1.5, batch_size: int = 256,
                  seed_chunk: int = 8192, compute_dtype: str = "float32",
-                 mega_chunks: int = 8):
+                 mega_chunks: int = 8, mode: str = "exact",
+                 probe_factor: float = 4.0, mesh=None):
+        """mode="exact" runs the fn+fd models per seed (reference
+        semantics). mode="fast" amortizes: one exact model evaluation per
+        ``probe`` (a probe_factor*dense_spacing voxel-dedup subset of the
+        seed shell — neighbouring seeds share >=95% of their 100-NN patch,
+        so the predicted normal/distance fields are locally planar), then
+        every seed is projected onto its nearest probe's tangent plane.
+        ~probe_factor^2-fold fewer model FLOPs for a first-order-accurate
+        output; quality vs exact is pinned by tests/test_pipeline.py."""
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
         self.fn_cfg_s = tuple(sorted(fn_cfg.items()))
@@ -164,6 +231,48 @@ class Upsampler:
         self.seed_chunk = seed_chunk
         self.compute_dtype = compute_dtype
         self.mega_chunks = mega_chunks
+        assert mode in ("exact", "fast"), mode
+        self.mode = mode
+        self.probe_factor = probe_factor
+        # Multi-chip: shard the seed/probe tile axis over the mesh's 'dp'
+        # axis (SURVEY.md §5.7 — the arbitrary-scale analog of sequence
+        # parallelism). The SAME _refine_body/refine pipeline runs per
+        # shard; only the outlier filter's global mean crosses chips.
+        self.mesh = mesh
+        self._sharded_mega: dict = {}
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            self.mega_chunks = -(-self.mega_chunks // n_dev) * n_dev
+            repl = NamedSharding(mesh, P())
+            (self.fn_params, self.fn_state, self.fd_params,
+             self.fd_state) = jax.device_put(
+                (self.fn_params, self.fn_state, self.fd_params,
+                 self.fd_state), repl)
+
+    def _get_sharded_mega(self, want_nd: bool):
+        """Build (once) the shard_map'd analog of refine_mega: tiles
+        [n_tiles, chunk, 3] sharded over 'dp', params/cloud replicated;
+        each device lax.map's its local tiles sequentially (peak memory =
+        one chunk per chip, one host dispatch per mega-tile)."""
+        if want_nd in self._sharded_mega:
+            return self._sharded_mega[want_nd]
+        from jax.experimental.shard_map import shard_map
+
+        def mapped(fn_params, fn_state, fd_params, fd_state, cloud, tiles):
+            def body(tile):
+                return _refine_body(fn_params, fn_state, fd_params, fd_state,
+                                    cloud, tile, self.fn_cfg_s, self.fd_cfg_s,
+                                    self.k_neighbors, self.compute_dtype,
+                                    want_nd)
+            return jax.lax.map(body, tiles)
+
+        out_specs = (P("dp"), P("dp")) if want_nd else P("dp")
+        fn = jax.jit(shard_map(
+            mapped, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("dp")),
+            out_specs=out_specs))
+        self._sharded_mega[want_nd] = fn
+        return fn
 
     def upsample(self, data: np.ndarray) -> np.ndarray:
         """[N, 3] or [1, N, 3] normalized cloud -> [M, 3] upsampled (host).
@@ -198,35 +307,84 @@ class Upsampler:
         return seeds_mod.generate_seeds(cloud, cell=self.dense_spacing,
                                         chunk=self.seed_chunk)
 
-    def refine_device(self, cloud, seed_pts, n_seeds: int
-                      ) -> tuple[jax.Array, int]:
-        """seeds [cap, 3] on device (valid count n_seeds) -> (compacted
-        outlier-filtered points [cap, 3] on device, n_valid)."""
-        if n_seeds == 0:
-            return jnp.zeros((1, 3), jnp.float32), 0
+    def _refine_tiles(self, cloud_j, pts, n_valid: int, want_nd: bool):
+        """Mega-tile dispatch loop over the first n_valid rows of a padded
+        point buffer; returns moved [>=n_valid, 3] or (normals, dists)."""
         c = self.batch_size
-        cloud_j = jnp.asarray(cloud, dtype=jnp.float32)
-
         # only refine chunks containing valid seeds (the buffer capacity is
         # a power-of-two bucket, often ~2x the count — skipping pad chunks
         # halves the hot-loop work); mega-tiles of `mega_chunks` chunks per
         # dispatch bound host-side dispatch latency (<= ~(mega-1)*c waste
         # on the last tile)
         mega = self.mega_chunks * c
-        n_mega = -(-n_seeds // mega)
+        n_mega = -(-n_valid // mega)
         need = n_mega * mega
-        if seed_pts.shape[0] < need:
-            seed_pts = jnp.pad(seed_pts,
-                               ((0, need - seed_pts.shape[0]), (0, 0)))
-        moved_tiles = []
+        if pts.shape[0] < need:
+            pts = jnp.pad(pts, ((0, need - pts.shape[0]), (0, 0)),
+                          constant_values=1e3)
+        outs = []
         for i in range(n_mega):
-            moved_tiles.append(refine_mega(
-                self.fn_params, self.fn_state, self.fd_params, self.fd_state,
-                cloud_j, jax.lax.dynamic_slice_in_dim(seed_pts, i * mega,
-                                                      mega),
-                self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors,
-                self.compute_dtype, c))
-        moved = jnp.concatenate(moved_tiles, axis=0)
+            tile = jax.lax.dynamic_slice_in_dim(pts, i * mega, mega)
+            if self.mesh is not None:
+                sharded = self._get_sharded_mega(want_nd)
+                out = sharded(self.fn_params, self.fn_state, self.fd_params,
+                              self.fd_state, cloud_j,
+                              tile.reshape(-1, c, 3))
+                out = (jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
+                                    out))
+                outs.append(out)
+            else:
+                outs.append(refine_mega(
+                    self.fn_params, self.fn_state, self.fd_params,
+                    self.fd_state, cloud_j, tile,
+                    self.fn_cfg_s, self.fd_cfg_s, self.k_neighbors,
+                    self.compute_dtype, c, want_nd))
+        if want_nd:
+            return (jnp.concatenate([o[0] for o in outs], axis=0),
+                    jnp.concatenate([o[1] for o in outs], axis=0))
+        return jnp.concatenate(outs, axis=0)
+
+    def _fast_moved(self, cloud_j, seed_pts, n_seeds: int) -> jax.Array:
+        """Probe-amortized move: exact model on the probe subset, tangent-
+        plane projection for every seed. One scalar host sync (the probe
+        count)."""
+        cap_s = seed_pts.shape[0]
+        valid = jnp.arange(cap_s) < n_seeds
+        # every seed CAN be its own probe (probe_factor <= 1), so the
+        # selection buffer must hold cap_s entries; it is then trimmed to
+        # the bucketed true count so the interp distance tiles stay small
+        probe_cell = self.probe_factor * self.dense_spacing
+        probes, n_p = _select_probes(seed_pts, valid, probe_cell, cap_s)
+        n_probes = max(int(n_p), 1)
+        p_used = _bucket(n_probes, base=2048)
+        probes = probes[:p_used]
+
+        normals, dists = self._refine_tiles(cloud_j, probes, n_probes,
+                                            want_nd=True)
+        n_buf = jnp.zeros((p_used, 3), jnp.float32)
+        d_buf = jnp.zeros((p_used,), jnp.float32)
+        m = min(normals.shape[0], p_used)
+        n_buf = jax.lax.dynamic_update_slice_in_dim(n_buf, normals[:m],
+                                                    0, axis=0)
+        d_buf = jax.lax.dynamic_update_slice_in_dim(d_buf, dists[:m],
+                                                    0, axis=0)
+        # bound the [chunk, p_used] distance tile to ~64M f32
+        chunk = min(4096, cap_s, max(512, (1 << 26) // p_used))
+        return _interp_project(seed_pts, probes, n_buf, d_buf, chunk=chunk)
+
+    def refine_device(self, cloud, seed_pts, n_seeds: int
+                      ) -> tuple[jax.Array, int]:
+        """seeds [cap, 3] on device (valid count n_seeds) -> (compacted
+        outlier-filtered points [cap, 3] on device, n_valid)."""
+        if n_seeds == 0:
+            return jnp.zeros((1, 3), jnp.float32), 0
+        cloud_j = jnp.asarray(cloud, dtype=jnp.float32)
+
+        if self.mode == "fast":
+            moved = self._fast_moved(cloud_j, seed_pts, n_seeds)
+        else:
+            moved = self._refine_tiles(cloud_j, seed_pts, n_seeds,
+                                       want_nd=False)
         cap = _bucket(n_seeds)
         if moved.shape[0] < cap:
             moved = jnp.pad(moved, ((0, cap - moved.shape[0]), (0, 0)))
@@ -234,9 +392,45 @@ class Upsampler:
             moved = moved[:cap]
 
         valid = jnp.arange(cap) < n_seeds
-        keep = _outlier_mask(moved, valid, self.outlier_threshold)
+        if self.mesh is not None:
+            keep = self._sharded_outlier(moved, valid)
+            # compaction + FPS are global/sequential: replicate first
+            repl = NamedSharding(self.mesh, P())
+            moved, keep = jax.device_put((moved, keep), repl)
+        else:
+            keep = _outlier_mask(moved, valid, self.outlier_threshold,
+                                 approx=self.mode == "fast")
         out, n_keep = _compact(moved, keep, cap)
         return out, int(n_keep)
+
+    def _sharded_outlier(self, pts, valid):
+        """Outlier rule with query rows sharded over 'dp'; the kNN
+        reference set is replicated (one small all-gather) and the global
+        mean is a psum."""
+        key = "outlier"
+        if key not in self._sharded_mega:
+            from jax.experimental.shard_map import shard_map
+            thr = self.outlier_threshold
+            k_out = getattr(self, "_outlier_k", 30)
+            approx = getattr(self, "mode", "exact") == "fast"
+
+            def mapped(q, vq, refs, vr):
+                big = 1e3
+                safe_refs = jnp.where(vr[:, None], refs, big + refs)
+                safe_q = jnp.where(vq[:, None], q, big + q)
+                d, _ = ops.knn_tiled(safe_q, safe_refs, k=k_out, chunk=2048,
+                                     approx=approx)
+                d = jnp.sqrt(jnp.maximum(d, 0.0))
+                avg = jnp.mean(d, axis=-1)
+                s = jax.lax.psum(jnp.sum(jnp.where(vq, avg, 0.0)), "dp")
+                nv = jax.lax.psum(jnp.sum(vq.astype(jnp.int32)), "dp")
+                return vq & (avg < s / jnp.maximum(nv, 1) * thr)
+
+            self._sharded_mega[key] = jax.jit(shard_map(
+                mapped, mesh=self.mesh,
+                in_specs=(P("dp"), P("dp"), P(), P()),
+                out_specs=P("dp")))
+        return self._sharded_mega[key](pts, valid, pts, valid)
 
     def refine(self, cloud: np.ndarray, seed_pts: np.ndarray) -> np.ndarray:
         """Host-array convenience wrapper around refine_device."""

@@ -189,6 +189,14 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
         snn.init_state(enc_p["snn"][2], jnp.zeros((b, m, 256), x.dtype)),
         snn.init_state(enc_p["snn"][3], jnp.zeros((b, m, 512), x.dtype)),
     ]
+    # Under shard_map (sharded inference) the scan carry must have the same
+    # varying-axes type at input and output; the zero/broadcast inits above
+    # carry no data dependence on the (sharded) input, so add a
+    # data-dependent zero to mark them varying. No-op numerically and
+    # constant-folded by XLA after sharding propagation.
+    vzero = jnp.sum(x_conv0) * 0
+    init_states = jax.tree.map(lambda a: a + vzero.astype(a.dtype),
+                               init_states)
     init_bn = [enc_s["conv_bn"][i] for i in range(3)] + [enc_s["ms_fuse_bn"]]
 
     # Remat: recompute in-loop activations in the backward pass instead of
@@ -252,7 +260,7 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
     out, new_carry = snn.lif_step(enc_p["snn_fc"], carry, feat,
                                   training=training)
     new_state["enc"]["spike_rates"] = jax.lax.stop_gradient(jnp.concatenate(
-        [jnp.mean(rates_t, axis=0), jnp.mean(out)[None]]))
+        [jnp.mean(rates_t, axis=0), jnp.mean(out)[None]]).astype(jnp.float32))
     return out, new_state, new_carry
 
 

@@ -160,13 +160,15 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
     attn, new_s["fc_gamma2_bn"] = _apply_fc_bn(p["fc_gamma2"], s["fc_gamma2_bn"],
                                                attn, training=training)
 
-    attn = attn.reshape(b, n, k_actual, num_heads, hd)
+    # The reference reshapes to [b,n,k,heads,hd] here, but the softmax is
+    # over the k axis (independent per channel) and the einsum
+    # "bnkhd,bnkhd->bnhd" is an elementwise product summed over k — both
+    # identical in the flat [b,n,k,d] layout. Staying flat keeps the last
+    # dim at d_model (full 128-lane tiles) instead of hd=16/32/64, which
+    # would pad lanes up to 8x and force two relayout copies.
     attn = jax.nn.softmax(attn / (hd ** 0.5), axis=2)          # over neighbours
     attn = fnn.dropout(rng, attn, dropout, training)
-
-    v_with_pos = (v_g + pos_enc).reshape(b, n, k_actual, num_heads, hd)
-    res = jnp.einsum("bnkhd,bnkhd->bnhd", attn, v_with_pos)
-    res = res.reshape(b, n, d_model)
+    res = jnp.sum(attn * (v_g + pos_enc), axis=2)              # [B, N, d]
 
     res, new_s["out_proj_bn"] = _apply_fc_bn(p["out_proj"], s["out_proj_bn"],
                                              res, training=training)
@@ -213,7 +215,7 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
                        remat=cfg.get("remat", True))
     new_s["spike_rates"] = jax.lax.stop_gradient(jnp.stack(
         [jnp.mean(feats)] + [jnp.mean(f) for f in block_feats]
-        + [jnp.mean(g)]))
+        + [jnp.mean(g)]).astype(jnp.float32))
     g = jnp.max(g, axis=-2)                                    # [B, emb]
     return fnn.dense(enc_p["fc_out"], g), new_s
 

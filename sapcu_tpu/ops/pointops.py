@@ -34,10 +34,14 @@ def pairwise_sqdist(src: jax.Array, dst: jax.Array) -> jax.Array:
     MXU. Result may be slightly negative from cancellation; callers that
     need true distances should clamp at 0.
     """
-    s2 = jnp.sum(src * src, axis=-1, keepdims=True)  # [..., N, 1]
-    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)  # [..., M, 1]
+    # Accumulate in f32 even when features are bf16 (AMP / bfloat16
+    # inference): neighbour selection on bf16-accumulated distances adds
+    # avoidable index divergence from the f32 reference, and the f32
+    # accumulation is free on the MXU.
+    s2 = jnp.sum(jnp.square(src.astype(jnp.float32)), axis=-1, keepdims=True)
+    d2 = jnp.sum(jnp.square(dst.astype(jnp.float32)), axis=-1, keepdims=True)
     inner = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
-                       preferred_element_type=src.dtype)
+                       preferred_element_type=jnp.float32)
     return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
 
 
@@ -279,9 +283,10 @@ def point_triangle_closest(a: jax.Array, b: jax.Array, c: jax.Array,
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
 def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
-              chunk: int = 1024) -> tuple[jax.Array, jax.Array]:
+              chunk: int = 1024, approx: bool = False
+              ) -> tuple[jax.Array, jax.Array]:
     """Memory-tiled kNN for large query sets (inference seed shells).
 
     queries: [Q, C], refs: [N, C] -> (sqdist [Q, k], idx int32 [Q, k]).
@@ -289,6 +294,13 @@ def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
     is chunk*N instead of Q*N. Q must not be huge relative to padding: the
     query array is zero-padded up to a multiple of ``chunk`` and the pad
     rows are discarded.
+
+    approx=True selects neighbours with ``lax.approx_min_k`` (TPU
+    PartialReduce, recall ~0.95) instead of a full sort — for N in the
+    hundreds of thousands the sort dominates (measured 7.1s vs ~0.3s for
+    the 30-NN outlier filter over 262k points); a ~5% recall miss swaps a
+    neighbour for the next-nearest one, which statistical consumers (the
+    outlier filter's mean distance) cannot distinguish.
     """
     q = queries.shape[0]
     k = min(k, refs.shape[0])
@@ -298,6 +310,9 @@ def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
 
     def one(tile):
         d = pairwise_sqdist(tile, refs)
+        if approx:
+            vals, idx = jax.lax.approx_min_k(d, k, recall_target=0.95)
+            return vals, idx.astype(jnp.int32)
         neg, idx = top_k_select(-d, k)
         return -neg, idx
 

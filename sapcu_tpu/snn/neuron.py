@@ -161,6 +161,20 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
 
     step = lif_step if kind == "lif" else eif_step
 
+    if not training:
+        # Eval: unroll the T-step loop in Python. Only the FINAL spike map
+        # is used, so the unrolled chain is one pure elementwise DAG that
+        # XLA fuses into a single pass (read x once, write spikes once) —
+        # the lax.scan alternative round-trips the (x, V, th, r) carry
+        # through HBM ~8 tensor passes per step, which dominates inference
+        # on the [B, N, k, d] branch tensors (HBM-bound, not FLOP-bound).
+        st = init_state(params, x)
+        out = x
+        for _ in range(time_steps):
+            out, st = step(params, st, out, training=False,
+                           grad_width=grad_width)
+        return out
+
     def body(carry, _):
         xc, st = carry
         s, st = step(params, st, xc, training=training, grad_width=grad_width)

@@ -93,3 +93,27 @@ def test_dp_training_step_on_mesh(bundles):
     a = jax.tree.leaves(p1)[0]
     b = jax.tree.leaves(p2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_upsample_device_e2e_under_mesh_matches_single(bundles):
+    """The PRODUCTION pipeline (seeds -> refine -> outlier -> compact)
+    runs end-to-end under the mesh via Upsampler(mesh=...) — same code
+    path as single-chip, sharded over 'dp' — and yields the same points."""
+    from sapcu_tpu.generate import Upsampler
+
+    fn_b, fd_b = bundles
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(300, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cloud = (v * 0.42).astype(np.float32)
+
+    kw = dict(k_neighbors=16, dense_spacing=0.02, batch_size=64)
+    single = Upsampler(fn_b, fd_b, **kw)
+    mesh = parallel.data_parallel_mesh()
+    sharded = Upsampler(fn_b, fd_b, mesh=mesh, **kw)
+
+    p1, n1 = single.upsample_device(cloud)
+    p2, n2 = sharded.upsample_device(cloud)
+    assert n1 == n2 and n1 > 0
+    np.testing.assert_allclose(np.asarray(p2[:n2]), np.asarray(p1[:n1]),
+                               atol=2e-5)

@@ -84,3 +84,44 @@ def test_sinkhorn_emd_identity_and_shift(rng):
                                          epsilon=0.005))
     assert same < 0.05
     assert abs(shifted - 0.5) < 0.1
+
+
+def _fast_upsampler(probe_factor):
+    fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
+                                     k_values=(6, 6, 4), emb_dims=32,
+                                     time_steps_enc=2, num_heads=4)
+    fd_bundle = models.init_fd_model(jax.random.PRNGKey(1), k=8, emb_dims=48,
+                                     time_steps=2, k_scales=(4, 8),
+                                     num_heads=4)
+    return Upsampler(fn_bundle, fd_bundle, k_neighbors=16,
+                     dense_spacing=0.02, batch_size=64, mode="fast",
+                     probe_factor=probe_factor)
+
+
+def test_fast_mode_degenerate_probes_equal_exact(upsampler):
+    """probe_factor <= 1 makes every seed its own probe; the tangent-plane
+    projection is then n.(p - s) = 0, i.e. exactly the per-seed move."""
+    cloud = _sphere(300)
+    fast = _fast_upsampler(probe_factor=0.9)
+    exact_pts, n_e = upsampler.upsample_device(cloud)
+    fast_pts, n_f = fast.upsample_device(cloud)
+    assert n_e == n_f
+    np.testing.assert_allclose(np.asarray(fast_pts[:n_f]),
+                               np.asarray(exact_pts[:n_e]), atol=1e-5)
+
+
+def test_fast_mode_close_to_exact(upsampler):
+    """Coarse probes (2x seed spacing): symmetric Chamfer between fast and
+    exact outputs stays a small fraction of the exact output's distance to
+    the input cloud (the VERDICT r1 quality bar, checked structurally)."""
+    cloud = _sphere(300)
+    fast = _fast_upsampler(probe_factor=2.0)
+    exact_pts, n_e = upsampler.upsample_device(cloud)
+    fast_pts, n_f = fast.upsample_device(cloud)
+    assert n_f > 0.8 * n_e
+    e = jnp.asarray(exact_pts[:n_e])[None]
+    f = jnp.asarray(fast_pts[:n_f])[None]
+    cd_fe = float(metrics.chamfer(f, e))
+    cd_ec = float(metrics.chamfer(e, jnp.asarray(cloud)[None]))
+    assert np.isfinite(cd_fe)
+    assert cd_fe < 0.05 * max(cd_ec, 1e-6), (cd_fe, cd_ec)
