@@ -128,7 +128,7 @@ def init_fd_model(key, k: int = 32, emb_dims: int = 768, time_steps: int = 7,
     return params, state, cfg
 
 
-def _edge_block(p, bn_state, x, k, *, training):
+def _edge_block(p, bn_state, x, k, *, training, idx=None, dist=None):
     """graph-feature -> 1x1 conv -> BN -> LeakyReLU -> max over k.
 
     Computed by the factored identity
@@ -137,12 +137,61 @@ def _edge_block(p, bn_state, x, k, *, training):
     [B, M, k, 2C] edge tensor) and only cheap gather+elementwise ops touch
     the big intermediate. Exactly the reference edge conv
     (fd/snn_coder.py:52-68 + conv) up to float reassociation.
+
+    Eval mode never materialises the [B, M, k, C] edge tensor at all:
+    with pf_j = (A+B)x_j, q_i = A x_i and eval BN an affine s*e + t per
+    channel, max_j BN(pf_j - q_i) = maxnbr(s*pf)_i - s*q_i + t, where the
+    per-channel BN scale s is folded INTO the projection weights so the
+    neighbourhood aggregation is a single masked channel-wise max
+    (signed channels come out right automatically: max of s*pf IS
+    s>0 ? s*max pf : s*min pf). One B*M*M*C VPU reduction replaces the
+    one-hot gather matmul (B*M*k*M*C MACs) plus BN/LeakyReLU passes over
+    the edge tensor; LeakyReLU commutes with the max. Identical result
+    up to float reassociation.
+
+    ``idx`` lets callers share one kNN across scales (nearest-first order
+    means the s-NN list is a prefix of the max-scale list). ``dist`` is an
+    optional precomputed (d, neg_topk_d) pair for the eval path.
     """
     from jax.ad_checkpoint import checkpoint_name
 
     c = x.shape[-1]
+    m = x.shape[-2]
     kernel = p["fc"]["kernel"]                           # [2C, C_out]
     a, b = kernel[:c], kernel[c:]
+
+    if not training:
+        s = (p["bn"]["scale"].astype(jnp.float32)
+             * jax.lax.rsqrt(bn_state["var"].astype(jnp.float32) + 1e-5))
+        t = (p["bn"]["bias"].astype(jnp.float32)
+             - s * bn_state["mean"].astype(jnp.float32))
+        sa = (a.astype(jnp.float32) * s).astype(x.dtype)
+        sab = ((a + b).astype(jnp.float32) * s).astype(x.dtype)
+        q = jnp.matmul(x, sa, preferred_element_type=jnp.float32)
+        pf = jnp.matmul(x, sab,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        # Neighbour mask from the kth-distance threshold: the max only
+        # needs the neighbour SET, so a values-only sort replaces the
+        # full index top-k (~2x cheaper, and shared across scales via
+        # ``dist``). Exact distance ties at the kth place admit the tied
+        # extras into the max — distinct points at bit-identical distance,
+        # a measure-zero event on coordinates/soft spikes (duplicated
+        # points have identical pf and cannot change the max). The train
+        # path keeps exact top-k semantics.
+        if dist is None:
+            d = ops.pairwise_sqdist(x, x)
+            nkth, _ = jax.lax.top_k(-d, min(k, m))
+        else:
+            d, nkth = dist
+        kth = -nkth[..., min(k, m) - 1]
+        mask = d <= kth[..., :, None]                    # [B, M, M]
+        big = jnp.asarray(3e38, pf.dtype)
+        pfb = pf[..., None, :, :]                        # [B, 1, M, C]
+        mk = mask[..., :, :, None]                       # [B, M, M, 1]
+        mx = jnp.max(jnp.where(mk, pfb, -big), axis=-2)  # [B, M, C]
+        h = (mx.astype(jnp.float32) - q) + t
+        return fnn.leaky_relu(h.astype(x.dtype), 0.2), bn_state
+
     q = jnp.matmul(x, a.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     pf = jnp.matmul(x, (a + b).astype(x.dtype),
@@ -152,7 +201,10 @@ def _edge_block(p, bn_state, x, k, *, training):
     # tail instead of the whole timestep
     q = checkpoint_name(q, "edge_small")
     pf = checkpoint_name(pf, "edge_small")
-    idx = ops.knn(x, k)
+    if idx is None:
+        idx = ops.knn(x, k)
+    else:
+        idx = idx[..., :k]
     h = ops.index_points(pf, idx) - q[..., :, None, :]   # [B, M, k, C_out]
     h, bn_state = fnn.bn_apply(p["bn"], bn_state, h, training=training)
     h = fnn.leaky_relu(h, 0.2)
@@ -167,9 +219,19 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
     new_state = {"enc": dict(enc_s), "dec": state["dec"]}
 
     # --- hoisted t-invariant block 0 (multi-scale edge convs, fd:411-421)
+    # one neighbour computation serves every scale: nearest-first order
+    # makes each smaller-k neighbour list a prefix of the largest (train:
+    # shared top-k indices; eval: shared distance matrix + values sort)
+    if training:
+        idx0, dist0 = ops.knn(x, min(max(cfg["k_scales"]), m)), None
+    else:
+        d0 = ops.pairwise_sqdist(x, x)
+        nk0, _ = jax.lax.top_k(-d0, min(max(cfg["k_scales"]), m))
+        idx0, dist0 = None, (d0, nk0)
     scale_feats, ms_states = [], []
     for p, s, kk in zip(enc_p["ms_conv"], enc_s["ms_conv"], cfg["k_scales"]):
-        f, bn = _edge_block(p, s["bn"], x, min(kk, m), training=training)
+        f, bn = _edge_block(p, s["bn"], x, min(kk, m), training=training,
+                            idx=idx0, dist=dist0)
         scale_feats.append(f)
         ms_states.append({"bn": bn})
     new_state["enc"]["ms_conv"] = ms_states

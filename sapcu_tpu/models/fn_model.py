@@ -121,8 +121,6 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
     new_s = {}
 
     idx = ops.knn(xyz, k_actual)                              # [B, N, k]
-    knn_xyz = ops.index_points(xyz, idx)
-    pos_diff = xyz[:, :, None, :] - knn_xyz                    # [B, N, k, 3]
 
     pre = features
     x, new_s["fc1_bn"] = _apply_fc_bn(p["fc1"], s["fc1_bn"], features,
@@ -143,8 +141,31 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
     k_g = ops.index_points(kf, idx)                            # [B, N, k, C]
     v_g = ops.index_points(v, idx)
 
-    pos_enc, new_s["fc_delta_bn"] = _apply_fc_bn(p["fc_delta"], s["fc_delta_bn"],
-                                                 pos_diff, training=training)
+    if not training:
+        # delta = BN(W @ (xyz_i - xyz_j) + b) separates: with eval BN the
+        # affine s*e+t folds into W, so project xyz ONCE to [B, N, C]
+        # (u = xyz @ sW) and gather u on the MXU one-hot path — the C=3
+        # xyz gather is a slow TPU dynamic-gather custom call (~10 ms per
+        # block at inference tile sizes) and the [B,N,k,3] tensor layout
+        # wastes 125/128 lanes.
+        dp, ds_ = p["fc_delta"], s["fc_delta_bn"]
+        sc = (dp["bn"]["scale"].astype(jnp.float32)
+              * jax.lax.rsqrt(ds_["var"].astype(jnp.float32) + 1e-5))
+        tc = (dp["bn"]["bias"].astype(jnp.float32)
+              + sc * (dp["fc"].get("bias", 0.0)
+                      - ds_["mean"].astype(jnp.float32)))
+        u = jnp.matmul(xyz, (dp["fc"]["kernel"].astype(jnp.float32)
+                             * sc).astype(xyz.dtype),
+                       preferred_element_type=jnp.float32).astype(xyz.dtype)
+        u_g = ops.index_points(u, idx)                         # [B, N, k, C]
+        pos_enc = (u[:, :, None, :].astype(jnp.float32)
+                   - u_g.astype(jnp.float32) + tc).astype(xyz.dtype)
+        new_s["fc_delta_bn"] = ds_
+    else:
+        knn_xyz = ops.index_points(xyz, idx)
+        pos_diff = xyz[:, :, None, :] - knn_xyz                # [B, N, k, 3]
+        pos_enc, new_s["fc_delta_bn"] = _apply_fc_bn(
+            p["fc_delta"], s["fc_delta_bn"], pos_diff, training=training)
     pos_enc = snn.multi_step(p["snn_delta"], pos_enc, _BLOCK_T, training=training,
                        remat=remat)
     pos_enc, new_s["fc_delta2_bn"] = _apply_fc_bn(p["fc_delta2"], s["fc_delta2_bn"],
