@@ -174,8 +174,21 @@ def farthest_point_sample_masked(points: jax.Array, npoint: int,
     Same semantics as ``farthest_point_sample`` (start index n_valid//2,
     1e32 init) but ignores pad rows, so the whole pipeline can stay
     device-resident with bucketed static shapes. ``n_valid`` may be traced.
+
+    On TPU this dispatches to the VMEM-resident Pallas kernel (the XLA
+    fori_loop round-trips HBM every one of the npoint iterations:
+    ~185 us/iter at 262k candidates vs ~2 us/iter in VMEM).
     """
     n = points.shape[0]
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if (on_tpu and n % 128 == 0 and npoint % 128 == 0
+            and n * 20 <= 12 * 2 ** 20):
+        from sapcu_tpu.ops.pallas_kernels import fps_masked_pallas
+        return fps_masked_pallas(points.astype(jnp.float32), npoint,
+                                 n_valid)
     valid = jnp.arange(n) < n_valid
 
     def body(i, carry):

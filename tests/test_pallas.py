@@ -43,3 +43,16 @@ def test_lif_multistep_pallas_parity(rng):
                                        tile=16, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-5, err_msg=f"{kind}/{hard}")
+
+
+def test_fps_pallas_matches_xla_masked(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    from sapcu_tpu.ops import pointops
+    from sapcu_tpu.ops.pallas_kernels import fps_masked_pallas
+
+    pts = jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32))
+    nv = jnp.int32(900)
+    want = pointops.farthest_point_sample_masked(pts, 128, nv)
+    with pltpu.force_tpu_interpret_mode():
+        got = fps_masked_pallas(pts, 128, nv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
