@@ -292,7 +292,7 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
         rates = jnp.stack([jnp.mean(f) for f in feats])   # telemetry
         return (new_states, new_bns), (pooled, rates)
 
-    remat_mode = cfg.get("remat", "names")
+    remat_mode = cfg.get("remat", "names") if training else False
     if remat_mode == "names":
         # selective: keep the named [B,M,C] matmul outputs, recompute the
         # k-fold gather/elementwise tails (cheap since the one-hot-matmul

@@ -214,8 +214,9 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     cur = feats
     # fn.yaml sets gradient_checkpointing: true — remat each transformer
     # block so its 6 four-step SNN branches are recomputed in backward
-    # rather than stored.
-    remat = cfg.get("remat", True)
+    # rather than stored. Eval has no backward: skip the checkpoint wrapper
+    # so it cannot constrain fusion/layout choices.
+    remat = training and cfg.get("remat", True)
     for bp, bs, k, r in zip(enc_p["blocks"], enc_s["blocks"], cfg["k_values"], rngs):
         def block_fn(bp_, bs_, xyz_, cur_, _k=k, _r=r):
             return _block_apply(bp_, bs_, xyz_, cur_, _k, cfg["num_heads"],
