@@ -51,7 +51,7 @@ def main():
     import jax.numpy as jnp
 
     from sapcu_tpu.generate import Upsampler
-    from sapcu_tpu.ops import metrics
+    from sapcu_tpu.ops import metrics  # noqa: F401 (threshold variants)
     from sapcu_tpu.utils import load_config, get_model
 
     batch = int(os.environ.get("FX_BATCH", 1024))
@@ -80,11 +80,21 @@ def main():
                 pts = np.asarray(pts[:nv])
                 times[mode] = time.time() - t0
                 outs[mode] = pts
-            e = jnp.asarray(outs["exact"])[None]
-            f = jnp.asarray(outs["fast"])[None]
-            c = jnp.asarray(cloud)[None]
-            cd_fe = float(metrics.chamfer(f, e))
-            cd_ec = float(metrics.chamfer(e, c))
+            from sapcu_tpu import ops as _ops
+
+            def chamfer_big(a, b):
+                # tiled 1-NN both ways: the outputs are 100k+ points, a
+                # full pairwise matrix would need >100 GB
+                ab, _ = _ops.knn_tiled(a, b, k=1, chunk=4096)
+                ba, _ = _ops.knn_tiled(b, a, k=1, chunk=4096)
+                return float(0.5 * jnp.mean(jnp.maximum(ab, 0.0))
+                             + 0.5 * jnp.mean(jnp.maximum(ba, 0.0)))
+
+            e = jnp.asarray(outs["exact"])
+            f = jnp.asarray(outs["fast"])
+            c = jnp.asarray(cloud)
+            cd_fe = chamfer_big(f, e)
+            cd_ec = chamfer_big(e, c)
             ratio = cd_fe / max(cd_ec, 1e-12)
             ratios.append(ratio)
             print(json.dumps({
