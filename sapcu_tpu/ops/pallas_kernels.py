@@ -122,25 +122,31 @@ def lif_multistep_pallas(params: dict, x: jax.Array, time_steps: int,
     return out[:r]
 
 
-def _kernel(centers_ref, points_ref, out_ref):
-    c = centers_ref[:]                                   # [T, 3]
-    p = points_ref[:]                                    # [N, 3]
-    n = p.shape[0]
-
+def _nn_triangle_best(c, p):
+    """Shared kernel body: centers [T, 3], points [N, 3] -> (best squared
+    triangle distance [T], squared 10th-NN distance [T])."""
     c2 = jnp.sum(c * c, axis=-1, keepdims=True)          # [T, 1]
     p2 = jnp.sum(p * p, axis=-1)                         # [N]
+    # precision=HIGHEST: Mosaic otherwise lowers f32 MXU dots to a single
+    # bf16 pass, which perturbs distances by up to ~1e-3 — a quarter of
+    # the emission band width (the XLA reference path, pinned bitwise to
+    # the reference ELF by tests/test_seeds.py, accumulates in f32)
     dist = c2 + p2[None, :] - 2.0 * jnp.dot(
-        c, p.T, preferred_element_type=jnp.float32)      # [T, N]
+        c, p.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [T, N]
 
     # exact 10-NN selection: iterative argmin + one-hot masking; the
     # one-hot row also serves as the gather matrix for the coordinates.
     nn = []
     d = dist
+    d10 = None
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     for _ in range(_K):
+        d10 = jnp.min(d, axis=-1)                        # this round's NN
         i = jnp.argmin(d, axis=-1)                       # [T]
         onehot = (col == i[:, None]).astype(jnp.float32)  # [T, N]
-        nn.append(jnp.dot(onehot, p, preferred_element_type=jnp.float32))
+        nn.append(jnp.dot(onehot, p, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
         d = jnp.where(onehot > 0, jnp.inf, d)
 
     nearest, second = nn[0], nn[1]                       # [T, 3]
@@ -195,12 +201,17 @@ def _kernel(centers_ref, points_ref, out_ref):
             cp = jnp.where(cond[:, None], val, cp)
         best = jnp.minimum(best, jnp.sum((cp - q) ** 2, axis=-1))
 
+    return best, d10  # d10: squared distance of the 10th-nearest point
+
+
+def _kernel(centers_ref, points_ref, out_ref):
+    best, _ = _nn_triangle_best(centers_ref[:], points_ref[:])
     out_ref[:, 0] = jnp.sqrt(best)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def surface_distance_pallas(centers: jax.Array, points: jax.Array,
-                            tile: int = 512,
+                            tile: int = 128,
                             interpret: bool = False) -> jax.Array:
     """centers [C, 3], points [N, 3] -> [C] band distances (float32)."""
     c = centers.shape[0]

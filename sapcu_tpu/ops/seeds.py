@@ -136,6 +136,29 @@ def voxel_centers(boxsize: int, cell: float) -> jax.Array:
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
+def _blocked_centers(boxsize: int, cell: float) -> tuple[jax.Array, int]:
+    """Voxel centers regrouped into 8^3 spatial blocks: [NB, 512, 3].
+
+    The grid is padded up to a multiple of 8; pad voxels get real (out-of-
+    band) distances and are sliced away by the caller.
+    """
+    bs_pad = -(-boxsize // 8) * 8
+    axis = jnp.arange(bs_pad, dtype=jnp.float32) * cell + 0.5 * cell - 0.5
+    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    g = jnp.stack([gx, gy, gz], axis=-1)                 # [P, P, P, 3]
+    nb1 = bs_pad // 8
+    g = g.reshape(nb1, 8, nb1, 8, nb1, 8, 3)
+    g = jnp.transpose(g, (0, 2, 4, 1, 3, 5, 6))
+    return g.reshape(nb1 ** 3, 512, 3), bs_pad
+
+
+def _unblock(dist_b: jax.Array, boxsize: int, bs_pad: int) -> jax.Array:
+    nb1 = bs_pad // 8
+    d = dist_b.reshape(nb1, nb1, nb1, 8, 8, 8)
+    d = jnp.transpose(d, (0, 3, 1, 4, 2, 5)).reshape(bs_pad, bs_pad, bs_pad)
+    return d[:boxsize, :boxsize, :boxsize]
+
+
 @functools.partial(jax.jit, static_argnames=("boxsize", "chunk", "use_pallas"))
 def seed_mask(points: jax.Array, boxsize: int, cell: float,
               band_lo: float = BAND_LO, band_hi: float = BAND_HI,
@@ -144,18 +167,114 @@ def seed_mask(points: jax.Array, boxsize: int, cell: float,
     centers = voxel_centers(boxsize, cell)
     if use_pallas:
         from sapcu_tpu.ops.pallas_kernels import surface_distance_pallas
-        dist = surface_distance_pallas(centers, points, tile=min(chunk, 512))
+        dist = surface_distance_pallas(centers, points, tile=min(chunk, 128))
     else:
         dist = surface_distance(centers, points, chunk=chunk)
     dist = dist.reshape(boxsize, boxsize, boxsize)
 
+    return _mask_from_dist(points, dist, boxsize, cell, band_lo, band_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize",))
+def _mask_reach_from_dist(points, dist, boxsize: int, cell, band_lo,
+                          band_hi):
     vox = jnp.clip(jnp.floor((points + 0.5) / cell).astype(jnp.int32),
                    0, boxsize - 1)
     seed = jnp.zeros((boxsize, boxsize, boxsize), bool)
     seed = seed.at[vox[:, 0], vox[:, 1], vox[:, 2]].set(True)
 
     reach = _bfs_closure(seed, dist <= band_hi, boxsize)
-    return reach & (dist >= band_lo) & (dist <= band_hi)
+    return reach & (dist >= band_lo) & (dist <= band_hi), reach
+
+
+def _mask_from_dist(points, dist, boxsize: int, cell, band_lo, band_hi):
+    mask, _ = _mask_reach_from_dist(points, dist, boxsize, cell,
+                                    band_lo, band_hi)
+    return mask
+
+
+def surface_distance_blocked(centers_blocked: jax.Array,
+                             points: jax.Array,
+                             n_cand: int = 128, block_chunk: int = 1024
+                             ) -> tuple[jax.Array, jax.Array]:
+    """Block-candidate surface distances: [NB, T, 3] spatial blocks of
+    centers, [N, 3] points -> (distances [NB, T], per-center
+    completeness certificate [NB, T]).
+
+    The full path pays 10 argmin rounds + neighbour gathers against all N
+    points for every voxel; restricting each block to the n_cand points
+    nearest its block center cuts that work by N/n_cand (16x at N=2048).
+    Exactness is certified per center: c's found 10-NN is provably
+    complete iff
+
+        ||c - 10thNN_found(c)|| + ||c - bc|| <= ||bc - cand_n||
+
+    (triangle inequality: any point nearer c than its found 10th-NN would
+    be within that bound of the block center bc, hence among the n_cand
+    nearest). Returns (distances [NB, T], ok [NB, T] bool). Incomplete
+    centers (deep inside / far outside the surface, where the shortlist
+    is a one-sided cap) may carry wrong distances — callers must either
+    ignore them (the BFS never reads unreachable voxels) or fall back,
+    so the shortcut is exact-or-rejected, never silently wrong.
+    """
+    nb, t = centers_blocked.shape[:2]
+    pts = points.astype(jnp.float32)
+    bc = jnp.mean(centers_blocked, axis=1)               # [NB, 3]
+
+    chunk = min(2048, nb)
+    while nb % chunk:
+        chunk //= 2
+
+    def cands(tile):                                     # [c, 3] block centers
+        d = pairwise_sqdist(tile, pts)
+        nd, idx = jax.lax.top_k(-d, n_cand)
+        return -nd[:, n_cand - 1], idx.astype(jnp.int32)
+    d128sq, cidx = jax.lax.map(cands, bc.reshape(-1, chunk, 3))
+    d128 = jnp.sqrt(jnp.maximum(d128sq.reshape(nb), 0.0))
+    cand = jnp.take(pts, cidx.reshape(nb, n_cand), axis=0)  # [NB, n_cand, 3]
+
+    bchunk = min(block_chunk, nb)
+    while nb % bchunk:
+        bchunk //= 2
+
+    def one(args):
+        cb, cd, bcc, d128c = args   # [C, T, 3], [C, n_cand, 3], [C, 3], [C]
+        d = pairwise_sqdist(cb, cd)                      # [C, T, n_cand]
+        vals, idx = topk_small(-d, 10)                   # nearest-first
+        nn = jnp.take_along_axis(
+            cd, idx.reshape(idx.shape[0], t * 10)[..., None],
+            axis=1).reshape(idx.shape[0], t, 10, 3)
+        nearest = nn[..., 0:1, :]
+        second = nn[..., 1:2, :]
+        others = nn[..., 2:10, :]
+        q = cb[..., None, :]
+        cpnt = point_triangle_closest(
+            others, jnp.broadcast_to(second, others.shape),
+            jnp.broadcast_to(nearest, others.shape), q)
+        dist = jnp.linalg.norm(cpnt - q, axis=-1)
+        best = jnp.min(dist, axis=-1)                    # [C, T]
+        d10 = jnp.sqrt(jnp.maximum(-vals[..., 9], 0.0))
+        dbc = jnp.linalg.norm(cb - bcc[:, None, :], axis=-1)
+        ok = d10 + dbc <= d128c[:, None]                 # [C, T]
+        return best, ok
+
+    best, ok = jax.lax.map(one, (
+        centers_blocked.astype(jnp.float32).reshape(-1, bchunk, t, 3),
+        cand.reshape(-1, bchunk, n_cand, 3),
+        bc.reshape(-1, bchunk, 3),
+        d128.reshape(-1, bchunk)))
+    if pts.shape[0] <= n_cand:
+        ok = jnp.ones_like(ok)  # shortlist == full set
+    return best.reshape(nb, t), ok.reshape(nb, t)
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize",))
+def _blocked_dist(points: jax.Array, boxsize: int, cell: float):
+    """(dist grid, per-voxel certificate grid) via block candidates."""
+    cb, bs_pad = _blocked_centers(boxsize, cell)
+    dist_b, ok_b = surface_distance_blocked(cb, points)
+    return (_unblock(dist_b, boxsize, bs_pad),
+            _unblock(ok_b.astype(jnp.float32), boxsize, bs_pad) > 0.5)
 
 
 @functools.partial(jax.jit, static_argnames=("boxsize", "cap"))
@@ -194,8 +313,33 @@ def generate_seeds_device(points, cell: float = 0.004,
     """
     boxsize = int(round(1.0 / cell))
     pts = jnp.asarray(points, dtype=jnp.float32)
-    mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk,
-                     use_pallas=_on_tpu())
+    mask = None
+    if _on_tpu() and pts.shape[0] > 4096:
+        # Block-candidate path: selection/gather work scales with the 128
+        # candidates instead of N, so it wins for large clouds. The
+        # per-voxel certificate must hold on every voxel the BFS READS
+        # (the reach set incl. its stopping boundary); un-certified
+        # voxels far from the surface (e.g. deep interior, where the
+        # shortlist is a one-sided cap) cannot influence the output.
+        # Any certificate violation on the reach set -> exact fallback.
+        dist, okg = _blocked_dist(pts, boxsize, cell)
+        m, reach = _mask_reach_from_dist(pts, dist, boxsize, cell,
+                                         band_lo, band_hi)
+        if bool(jnp.all(okg | ~reach)):
+            mask = m
+    if mask is None:
+        # The tiled XLA path is both exact (f32 end-to-end, the same math
+        # the reference-ELF parity test pins on CPU) and, at PU1K cloud
+        # sizes, faster on TPU than the Pallas kernel it replaces (1.4s vs
+        # 2.5s for the 250^3 grid): Mosaic lowers f32 dots through bf16
+        # MXU passes whose ~1e-3 distance error is a quarter of the
+        # emission band. The Pallas kernel remains opt-in
+        # (SAPCU_PALLAS_SEEDS=1) for experimentation.
+        import os
+        use_pallas = (_on_tpu()
+                      and os.environ.get("SAPCU_PALLAS_SEEDS") == "1")
+        mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk,
+                         use_pallas=use_pallas)
     count = int(jnp.sum(mask))
     cap = _bucket(max(count, 1))
     centers, _ = extract_seeds(mask, boxsize, cell, cap)

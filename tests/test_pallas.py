@@ -56,3 +56,29 @@ def test_fps_pallas_matches_xla_masked(rng):
     with pltpu.force_tpu_interpret_mode():
         got = fps_masked_pallas(pts, 128, nv)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_surface_distance_blocked_matches_full(rng):
+    from sapcu_tpu.ops import seeds as sm
+    from sapcu_tpu.ops.seeds import (surface_distance_blocked,
+                                     _blocked_centers, _unblock)
+
+    # with exactly 128 points the shortlist IS the whole set, so the
+    # blocked kernel must reproduce the full kernel regardless of the
+    # (conservative) margin sign. Margin-positive behaviour only occurs
+    # at production grid scale (block width << domain), where it is
+    # exercised on hardware by generate_seeds_device.
+    v = rng.normal(size=(128, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = jnp.asarray(v * 0.35)
+
+    boxsize, cell = 16, 1.0 / 16
+    cb, bs_pad = _blocked_centers(boxsize, cell)
+    dist_b, ok = surface_distance_blocked(cb, pts)
+    got = _unblock(dist_b, boxsize, bs_pad)
+    want = sm.surface_distance(
+        sm.voxel_centers(boxsize, cell), pts, chunk=512
+    ).reshape(boxsize, boxsize, boxsize)
+    assert bool(jnp.all(ok))  # shortlist == full set -> all certified
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
