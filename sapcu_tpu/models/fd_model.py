@@ -205,10 +205,50 @@ def _edge_block(p, bn_state, x, k, *, training, idx=None, dist=None):
         idx = ops.knn(x, k)
     else:
         idx = idx[..., :k]
-    h = ops.index_points(pf, idx) - q[..., :, None, :]   # [B, M, k, C_out]
-    h, bn_state = fnn.bn_apply(p["bn"], bn_state, h, training=training)
-    h = fnn.leaky_relu(h, 0.2)
-    return jnp.max(h, axis=-2), bn_state                 # [B, M, C_out]
+
+    # Training also never materialises the [B, M, k, C] edge tensor: the
+    # BN batch statistics of e_{bij} = pf_j - q_i over the adjacency
+    # decompose into degree-weighted point sums,
+    #   sum(e)   = deg.pf       - k*sum(q)
+    #   sum(e^2) = deg.pf^2 - 2 sum_i q_i.(A pf)_i + k*sum(q^2),
+    # needing one [M, M] adjacency matmul instead of the k-wide one-hot
+    # gather (a k-fold FLOP cut in forward AND backward), and the
+    # post-BN max over neighbours is the same masked channel-wise max as
+    # eval with the batch-stat affine folded in. Algebraically identical
+    # to gather+bn_apply+max up to float reassociation, so autodiff
+    # yields the same gradients (up to the max's tie subgradient).
+    kk = idx.shape[-1]
+    mask = jnp.any(idx[..., :, :, None]
+                   == jnp.arange(m, dtype=idx.dtype), axis=-2)  # [B, M, M]
+    adj = mask.astype(jnp.float32)
+    deg = jnp.sum(adj, axis=-2)                          # [B, M] in-degree
+    qf = q.astype(jnp.float32)
+    pff = pf.astype(jnp.float32)
+    n = q.shape[0] * m * kk
+    sum_e = (jnp.einsum("bm,bmc->c", deg, pff)
+             - kk * jnp.sum(qf, axis=(0, 1)))
+    s_nbr = jnp.einsum("bij,bjc->bic", adj, pff)         # [B, M, C]
+    sum_e2 = (jnp.einsum("bm,bmc->c", deg, pff * pff)
+              - 2.0 * jnp.sum(qf * s_nbr, axis=(0, 1))
+              + kk * jnp.sum(qf * qf, axis=(0, 1)))
+    mean = sum_e / n
+    var = jnp.maximum(sum_e2 / n - mean * mean, 0.0)     # biased
+    unbiased = var * (n / max(n - 1, 1))
+    momentum = 0.1
+    new_bn = {
+        "mean": ((1 - momentum) * bn_state["mean"].astype(jnp.float32)
+                 + momentum * mean).astype(bn_state["mean"].dtype),
+        "var": ((1 - momentum) * bn_state["var"].astype(jnp.float32)
+                + momentum * unbiased).astype(bn_state["var"].dtype),
+    }
+    s = p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(var + 1e-5)
+    t = p["bn"]["bias"].astype(jnp.float32) - s * mean
+    pf_s = (pff * s).astype(x.dtype)
+    big = jnp.asarray(3e38, x.dtype)
+    mx = jnp.max(jnp.where(mask[..., :, :, None], pf_s[..., None, :, :],
+                           -big), axis=-2)               # [B, M, C]
+    h = mx.astype(jnp.float32) - qf * s + t
+    return fnn.leaky_relu(h.astype(x.dtype), 0.2), new_bn
 
 
 def fd_encoder_apply(params, state, x, cfg, *, training: bool,
