@@ -108,6 +108,63 @@ def _apply_fc_bn(p, s, x, *, training):
     return fnn.bn_apply(p["bn"], s, y, training=training)
 
 
+def _bn_fold(fc, bn, bn_state):
+    """Eval BatchNorm folded into dense weights: returns (W', b') with
+    BN(x @ W + b) == x @ W' + b'."""
+    sc = (bn["scale"].astype(jnp.float32)
+          * jax.lax.rsqrt(bn_state["var"].astype(jnp.float32) + 1e-5))
+    w = fc["kernel"].astype(jnp.float32) * sc
+    bias = fc.get("bias", 0.0)
+    b = (bn["bias"].astype(jnp.float32)
+         + sc * (bias - bn_state["mean"].astype(jnp.float32)))
+    return w, b
+
+
+def _fused_branch(p, s, xyz, q, kf, v, idx, num_heads):
+    """Dispatch the whole eval attention branch (pos-enc + gamma chains +
+    softmax-sum) to the fused Pallas kernel (ops/pallas_kernels.py::
+    fn_branch_pallas) on TPU for bf16 inference. Returns (res, bn-state
+    passthroughs) or None when the kernel does not apply."""
+    import os
+
+    if os.environ.get("SAPCU_FUSED_FN") != "1":  # opt-in: measured slower
+        return None
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu or q.dtype != jnp.bfloat16:
+        return None
+    from sapcu_tpu.ops.pallas_kernels import fn_branch_pallas
+
+    d_model = q.shape[-1]
+    wd, td = _bn_fold(p["fc_delta"]["fc"], p["fc_delta"]["bn"],
+                      s["fc_delta_bn"])
+    u = jnp.matmul(xyz, wd.astype(xyz.dtype),
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    wd2, bd2 = _bn_fold(p["fc_delta2"]["fc"], p["fc_delta2"]["bn"],
+                        s["fc_delta2_bn"])
+    wg, bg = _bn_fold(p["fc_gamma"]["fc"], p["fc_gamma"]["bn"],
+                      s["fc_gamma_bn"])
+    wg2, bg2 = _bn_fold(p["fc_gamma2"]["fc"], p["fc_gamma2"]["bn"],
+                        s["fc_gamma2_bn"])
+
+    def stack(sp):
+        return jnp.stack([sp["membrane_decay"], sp["threshold_adapt"],
+                          sp["refractory_decay"], sp["threshold_base"]]
+                         ).astype(jnp.float32)
+
+    res = fn_branch_pallas(
+        u, q, kf, v, idx, td.astype(jnp.float32),
+        wd2.astype(q.dtype), bd2, wg.astype(q.dtype), bg,
+        wg2.astype(q.dtype), bg2,
+        stack(p["snn_delta"]), stack(p["snn_delta2"]),
+        stack(p["snn_gamma"]), hd=d_model // num_heads)
+    new_s = {name + "_bn": s[name + "_bn"]
+             for name in ["fc_delta", "fc_delta2", "fc_gamma", "fc_gamma2"]}
+    return res, new_s
+
+
 def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
                  remat=False):
     """One MultiHeadSNNTransformerBlock (fn/snn_coder.py:294-396).
@@ -137,6 +194,17 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
     v, new_s["w_vs_bn"] = _apply_fc_bn(p["w_vs"], s["w_vs_bn"], x, training=training)
     v = snn.multi_step(p["snn_v"], v, _BLOCK_T, training=training,
                        remat=remat)
+
+    if not training:
+        fused = _fused_branch(p, s, xyz, q, kf, v, idx, num_heads)
+        if fused is not None:
+            res, new_s2 = fused
+            new_s.update(new_s2)
+            res, new_s["out_proj_bn"] = _apply_fc_bn(
+                p["out_proj"], s["out_proj_bn"], res, training=training)
+            res, new_s["fc2_bn"] = _apply_fc_bn(p["fc2"], s["fc2_bn"], res,
+                                                training=training)
+            return res + pre, new_s
 
     k_g = ops.index_points(kf, idx)                            # [B, N, k, C]
     v_g = ops.index_points(v, idx)

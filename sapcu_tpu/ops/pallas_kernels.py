@@ -308,3 +308,126 @@ def fps_masked_pallas(points: jax.Array, npoint: int,
         scratch_shapes=[pltpu.VMEM((r, 128), jnp.float32)],
     )(nv, cols[0], cols[1], cols[2])
     return out.reshape(npoint)
+
+
+# --------------------------------------------------- fused fn branch kernel
+def _lif4_soft(x, md, ta, rd, tb, grad_width=10.0):
+    """Eval-mode 4-step spike-feedback LIF chain (soft spikes), exactly
+    snn.multi_step semantics (see _make_lif_kernel)."""
+    md = jnp.clip(md, 0.1, 0.99)
+    ta = jnp.clip(ta, 0.001, 0.1)
+    rd = jnp.clip(rd, 0.1, 0.95)
+    m = jnp.zeros_like(x)
+    th = jnp.broadcast_to(tb, x.shape)
+    r = jnp.zeros_like(x)
+    cur = x
+    for _ in range(4):
+        gated = cur * (r <= 0).astype(cur.dtype)
+        m = m * md * (1.0 - r) + gated
+        v = m - th
+        s = _soft_spike(v, grad_width)
+        m = m * (1.0 - s)
+        r = r * rd + s
+        th = tb + (th + ta * s - tb) * 0.95
+        cur = s
+    return cur
+
+
+def _make_fn_branch_kernel(n: int, k: int, c: int, hd: int):
+    inv_sqrt_hd = 1.0 / (hd ** 0.5)
+
+    def kernel(u_ref, q_ref, kf_ref, v_ref, idx_ref, tc_ref,
+               wd2_ref, bd2_ref, wg_ref, bg_ref, wg2_ref, bg2_ref,
+               sd_ref, sd2_ref, sg_ref, out_ref):
+        u, q, kf, v = u_ref[0], q_ref[0], kf_ref[0], v_ref[0]   # [N, C]
+        idx = idx_ref[0]                                         # [N, k]
+        dt = u.dtype
+
+        # one-hot gather matrix [N*k, N] built in VMEM
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, k, n), 2)
+        oh = (col == idx[:, :, None]).astype(dt).reshape(n * k, n)
+
+        def gath(src):
+            return jnp.dot(oh, src, preferred_element_type=jnp.float32
+                           ).astype(dt)
+
+        def rep(src):   # row i of src repeated k times consecutively
+            return jnp.broadcast_to(src[:, None, :], (n, k, c)
+                                    ).reshape(n * k, c)
+
+        def mm(x, w_ref, b_ref):
+            y = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+            return (y + b_ref[0].astype(jnp.float32)).astype(dt)
+
+        def snn4(x, p_ref):
+            # f32 inside the chain: Mosaic has no bf16 compare, and the
+            # XLA path promotes to f32 anyway (f32 params x bf16 input)
+            p = p_ref[:]                                         # [4, C]
+            return _lif4_soft(x, p[0], p[1], p[2], p[3])
+
+        pos0 = rep(u) - gath(u) + tc_ref[0].astype(dt)
+        pos1 = snn4(pos0, sd_ref)
+        pos3 = snn4(mm(pos1, wd2_ref, bd2_ref), sd2_ref)
+
+        attn0 = rep(q) - gath(kf) + pos3
+        attn2 = snn4(mm(attn0, wg_ref, bg_ref), sg_ref)
+        attn3 = mm(attn2, wg2_ref, bg2_ref).astype(jnp.float32)
+
+        a = (attn3 * inv_sqrt_hd).reshape(n, k, c)
+        amax = jnp.max(a, axis=1, keepdims=True)
+        e = jnp.exp(a - amax)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(dt)
+
+        val = (gath(v) + pos3).reshape(n, k, c)
+        out_ref[0] = jnp.sum((p * val).astype(jnp.float32), axis=1
+                             ).astype(dt)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("hd", "interpret"))
+def fn_branch_pallas(u, q, kf, v, idx, tc, wd2, bd2, wg, bg, wg2, bg2,
+                     snn_delta, snn_delta2, snn_gamma, hd: int,
+                     interpret: bool = False):
+    """Fused fn attention branch (eval): per batch element, the whole
+    gather -> pos-enc SNN chain -> fc_delta2+SNN -> gamma projections ->
+    softmax -> weighted sum runs inside VMEM.
+
+    MEASURED NEGATIVE RESULT (kept opt-in for the record): the XLA
+    version round-trips HBM ~14 times per block with relayout copies at
+    ~200 GB/s, and this kernel does eliminate that traffic — but
+    Mosaic's elementwise throughput on the 4-step SNN chains (f32
+    compares + transcendentals; bf16 compare/logistic lowerings are
+    broken) loses more than the relayouts cost: 217-296 ms vs XLA's
+    190 ms per 1024x100 patches on v5e. Off by default
+    (SAPCU_FUSED_FN=1 to enable). BN affines must be pre-folded into
+    the weight/bias args.
+
+    u, q, kf, v: [B, N, C]; idx: [B, N, k] int32; snn_*: [4, C] stacked
+    (membrane_decay, threshold_adapt, refractory_decay, threshold_base).
+    Returns [B, N, C] (the pre-out_proj attention result).
+    """
+    b, n, c = u.shape
+    k = idx.shape[-1]
+    space = pltpu.ANY if interpret else pltpu.VMEM
+
+    def vec(x):
+        return x.reshape(1, -1)
+
+    out = pl.pallas_call(
+        _make_fn_branch_kernel(n, k, c, hd),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=space)] * 4
+        + [pl.BlockSpec((1, n, k), lambda i: (i, 0, 0), memory_space=space)]
+        + [pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=space)]
+        + [pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=space),
+           pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=space)] * 3
+        + [pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=space)] * 3,
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), u.dtype),
+        interpret=interpret,
+    )(u, q, kf, v, idx, vec(tc), wd2, vec(bd2), wg, vec(bg), wg2, vec(bg2),
+      snn_delta, snn_delta2, snn_gamma)
+    return out

@@ -82,3 +82,55 @@ def test_surface_distance_blocked_matches_full(rng):
     assert bool(jnp.all(ok))  # shortlist == full set -> all certified
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_fn_branch_pallas_matches_xla(rng):
+    """Fused fn attention branch == the XLA gather-path eval math."""
+    from sapcu_tpu import nn as fnn, snn
+    from sapcu_tpu.ops import pointops
+    from sapcu_tpu.ops.pallas_kernels import fn_branch_pallas
+
+    b, n, k, c, heads = 2, 16, 6, 32, 4
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 12))
+    xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 0.3)
+    q = jnp.asarray(rng.uniform(0, 1, size=(b, n, c)).astype(np.float32))
+    kf = jnp.asarray(rng.uniform(0, 1, size=(b, n, c)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, size=(b, n, c)).astype(np.float32))
+    idx = pointops.knn(xyz, k)
+
+    def mk_fold(cin):
+        w = jnp.asarray(rng.normal(size=(cin, c)).astype(np.float32) * 0.3)
+        bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        return w, bias
+
+    wd, td = mk_fold(3)
+    wd2, bd2 = mk_fold(c)
+    wg, bg = mk_fold(c)
+    wg2, bg2 = mk_fold(c)
+    sp = [snn.lif_init(c) for _ in range(3)]
+
+    # XLA reference: the gather-path section of fn_model._block_apply
+    u = xyz @ wd
+    u_g = pointops.index_points(u, idx)
+    pos = u[:, :, None, :] - u_g + td
+    pos = snn.multi_step(sp[0], pos, 4, training=False)
+    pos = snn.multi_step(sp[1], pos @ wd2 + bd2, 4, training=False)
+    k_g = pointops.index_points(kf, idx)
+    attn = q[:, :, None, :] - k_g + pos
+    attn = snn.multi_step(sp[2], attn @ wg + bg, 4, training=False)
+    attn = attn @ wg2 + bg2
+    hd = c // heads
+    attn = jax.nn.softmax(attn / (hd ** 0.5), axis=2)
+    v_g = pointops.index_points(v, idx)
+    want = jnp.sum(attn * (v_g + pos), axis=2)
+
+    def stack(p):
+        return jnp.stack([p["membrane_decay"], p["threshold_adapt"],
+                          p["refractory_decay"], p["threshold_base"]])
+
+    got = fn_branch_pallas(u, q, kf, v, idx, td, wd2, bd2, wg, bg, wg2,
+                           bg2, stack(sp[0]), stack(sp[1]), stack(sp[2]),
+                           hd=hd, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
