@@ -225,14 +225,23 @@ def _edge_block(p, bn_state, x, k, *, training, idx=None, dist=None):
     qf = q.astype(jnp.float32)
     pff = pf.astype(jnp.float32)
     n = q.shape[0] * m * kk
-    sum_e = (jnp.einsum("bm,bmc->c", deg, pff)
-             - kk * jnp.sum(qf, axis=(0, 1)))
-    s_nbr = jnp.einsum("bij,bjc->bic", adj, pff)         # [B, M, C]
-    sum_e2 = (jnp.einsum("bm,bmc->c", deg, pff * pff)
-              - 2.0 * jnp.sum(qf * s_nbr, axis=(0, 1))
-              + kk * jnp.sum(qf * qf, axis=(0, 1)))
-    mean = sum_e / n
-    var = jnp.maximum(sum_e2 / n - mean * mean, 0.0)     # biased
+    # Numerical form matters: e is invariant to shifting pf and q by the
+    # same constant, and E[(e-mu)^2] decomposes with q shifted by mu, so
+    # center everything first — the naive one-pass E[e^2] - mu^2 form
+    # cancels catastrophically and amplifies reduction-order differences
+    # (e.g. per-shard partial sums under data parallelism) into visible
+    # BN drift.
+    c0 = jnp.mean(pff, axis=(0, 1))
+    pfc = pff - c0
+    qc = qf - c0
+    s_q = jnp.sum(qc, axis=(0, 1))
+    mean = (jnp.einsum("bm,bmc->c", deg, pfc) - kk * s_q) / n
+    q2 = qc + mean
+    s_nbr = jnp.einsum("bij,bjc->bic", adj, pfc)         # [B, M, C]
+    sum_e2c = (jnp.einsum("bm,bmc->c", deg, pfc * pfc)
+               - 2.0 * jnp.sum(q2 * s_nbr, axis=(0, 1))
+               + kk * jnp.sum(q2 * q2, axis=(0, 1)))
+    var = jnp.maximum(sum_e2c / n, 0.0)                  # biased E[(e-mu)^2]
     unbiased = var * (n / max(n - 1, 1))
     momentum = 0.1
     new_bn = {
