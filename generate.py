@@ -105,7 +105,7 @@ def main():
                    help="probe-amortized fast mode: exact model evals on a "
                         "coarse probe subset + tangent-plane projection for "
                         "all seeds (~probe-factor^2 fewer model FLOPs)")
-    p.add_argument("--probe-factor", type=float, default=4.0,
+    p.add_argument("--probe-factor", type=float, default=8.0,
                    help="fast-mode probe spacing in units of dense-spacing")
     args = p.parse_args()
 

@@ -14,7 +14,7 @@ flagship models, and reports, per cloud:
   on real hardware.
 
 Prints one JSON line per cloud plus a summary line. Env: FX_MODES
-(default "exact,fast"), FX_PROBE_FACTOR (default 4.0), FX_SIZES
+(default "exact,fast"), FX_PROBE_FACTOR (default 8.0), FX_SIZES
 (default "2048"), FX_DTYPE (default bfloat16), FX_BATCH (default 1024).
 """
 import json
@@ -39,6 +39,13 @@ def make_cloud(kind: str, n: int, rng) -> np.ndarray:
         pts = np.stack([(r + rr * np.cos(w)) * np.cos(u),
                         (r + rr * np.cos(w)) * np.sin(u),
                         rr * np.sin(w)], axis=1)
+    elif kind == "bumpy":
+        # high-curvature probe-spacing stress: r = 1 + 0.1 sin6t sin6p
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        th = np.arccos(np.clip(v[:, 2], -1, 1))
+        ph = np.arctan2(v[:, 1], v[:, 0])
+        pts = v * (1.0 + 0.1 * np.sin(6 * th) * np.sin(6 * ph))[:, None]
     else:
         raise ValueError(kind)
     # bbox-normalize like generate.py:43-53 (fit in the unit box, margin)
@@ -56,7 +63,7 @@ def main():
 
     batch = int(os.environ.get("FX_BATCH", 1024))
     dtype = os.environ.get("FX_DTYPE", "bfloat16")
-    pf = float(os.environ.get("FX_PROBE_FACTOR", 4.0))
+    pf = float(os.environ.get("FX_PROBE_FACTOR", 8.0))
     sizes = [int(s) for s in os.environ.get("FX_SIZES", "2048").split(",")]
 
     fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
@@ -70,7 +77,7 @@ def main():
 
     rng = np.random.default_rng(0)
     ratios = []
-    for kind in ["sphere", "torus"]:
+    for kind in ["sphere", "torus", "bumpy"]:
         for n in sizes:
             cloud = make_cloud(kind, n, rng)
             outs, times = {}, {}
