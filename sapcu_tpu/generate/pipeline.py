@@ -161,7 +161,7 @@ def _interp_project(seeds: jax.Array, probes: jax.Array,
 
     def one(tile):
         d = ops.pairwise_sqdist(tile, probes)           # [chunk, P]
-        nd, idx = jax.lax.top_k(-d, 3)
+        nd, idx = ops.top_k_select(-d, 3)               # iterative small-k
         w = 1.0 / (jnp.maximum(-nd, 0.0) + 1e-12)       # [chunk, 3]
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         p = jnp.take(probes, idx, axis=0)               # [chunk, 3, 3]
