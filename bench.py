@@ -3,58 +3,125 @@
 
 Runs the full inference pipeline (seed generation + fused
 patch->fn->rotate->fd->move refine + outlier filter) on a 2048-point cloud
-with the flagship (effective-hyperparameter) models and random weights
-(same FLOPs as trained weights), then reports steady-state throughput.
+with the flagship (effective-hyperparameter) models, then reports
+steady-state throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured against the per-chip share of the north-star
 target (10M pts/s on v5e-8 -> 1.25M pts/s/chip, BASELINE.json).
-Refine-only throughput goes to stderr so round deltas are attributable.
+Per-stage numbers go to stderr so round deltas are attributable.
+
+Robustness (the round-2 driver run timed out at cold warmup and recorded
+nothing — VERDICT.md missing #1):
+- the persistent JAX compilation cache is enabled (apply_platform_env), so
+  a warm .jax_cache turns the ~7-min cold compile bill into seconds;
+- a watchdog emits the best measurement so far and exits 0 if the wall
+  clock runs past BENCH_DEADLINE_S (default 480s), so a slow-tunnel day
+  still produces a parseable artifact.
 
 Env: BENCH_BATCH (default 1024 — the tuned refine chunk), BENCH_DTYPE
-(default bfloat16), BENCH_REPS, BENCH_MODE (exact|fast).
+(default bfloat16), BENCH_REPS, BENCH_MODE (exact|fast),
+BENCH_WEIGHTS (checkpoint dir with model_best.pt pair; default
+out/release if present, else random init — same FLOPs either way).
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_PER_CHIP = 10e6 / 8  # north-star 10M pts/s on v5e-8
 
+_result = {"metric": "upsampled_points_per_sec_per_chip_4x", "value": 0.0,
+           "unit": "points/s", "vs_baseline": 0.0, "stage": "startup"}
+_done = threading.Event()
+_lock = threading.Lock()
+
+
+def _record(pts_per_sec: float, stage: str, **extra):
+    with _lock:
+        _result.update(value=round(pts_per_sec, 1),
+                       vs_baseline=round(pts_per_sec / BASELINE_PER_CHIP, 4),
+                       stage=stage, **extra)
+
+
+def _emit_and_exit():
+    with _lock:
+        print(json.dumps(_result), flush=True)
+    os._exit(0)
+
+
+def _watchdog(deadline_s: float):
+    if not _done.wait(timeout=deadline_s):
+        print(f"# watchdog: deadline {deadline_s}s hit at stage "
+              f"{_result['stage']!r}; emitting best-so-far", file=sys.stderr)
+        _emit_and_exit()
+
+
+def _on_signal(signum, frame):
+    print(f"# signal {signum} at stage {_result['stage']!r}; emitting "
+          "best-so-far", file=sys.stderr)
+    _emit_and_exit()
+
 
 def main():
-    import jax
+    import signal
+    # `timeout N python bench.py` must still produce a parseable line:
+    # SIGTERM/SIGINT emit the best measurement so far and exit 0. (A
+    # wedged device call can't be interrupted by a Python signal handler —
+    # the watchdog thread's os._exit covers that case.)
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", 480))
+    threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
+
+    from sapcu_tpu.utils import apply_platform_env, load_config, get_model
+    apply_platform_env()  # also enables the persistent compilation cache
 
     from sapcu_tpu.generate import Upsampler
-    from sapcu_tpu.utils import load_config, get_model
 
     fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
 
-    import os
+    weights = os.environ.get("BENCH_WEIGHTS", "out/release")
+    if os.path.exists(os.path.join(weights, "fn", "model_best.pt")):
+        from sapcu_tpu.utils.checkpoint import load_model_weights
+        fn_bundle = load_model_weights(fn_bundle, weights, "fn")
+        fd_bundle = load_model_weights(fd_bundle, weights, "fd")
+        print(f"# weights: trained ({weights})", file=sys.stderr)
+        trained = True
+    else:
+        print("# weights: random init (same FLOPs as trained)",
+              file=sys.stderr)
+        trained = False
+
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "fast")
     up = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
                    compute_dtype=dtype, mode=mode)
+    _record(0.0, "compiling", mode=mode, trained_weights=trained)
 
     rng = np.random.default_rng(0)
     v = rng.normal(size=(2048, 3))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     cloud = (v * 0.42).astype(np.float32)
 
-    # warmup: compiles seed kernel, refine chunk, outlier kernel. The
-    # pipeline is device-resident; only point COUNTS cross the (slow stdio-
-    # relayed) tunnel, so timings measure device throughput.
+    # warmup: compiles seed kernel, refine chunk, outlier kernel (or loads
+    # them from .jax_cache). The pipeline is device-resident; only point
+    # COUNTS cross the (slow stdio-relayed) tunnel, so timings measure
+    # device throughput. The warmup run is itself a (cold) e2e measurement
+    # and seeds the watchdog's best-so-far.
     t0 = time.time()
     pts, n = up.upsample_device(cloud)
     pts.block_until_ready()
     warm = time.time() - t0
     print(f"# warmup: {n} pts in {warm:.1f}s", file=sys.stderr)
+    _record(n / warm, "warmup", warmup_s=round(warm, 1))
 
     # refine-only throughput (seeds held fixed, the dominant stage)
-    import jax.numpy as jnp
     from sapcu_tpu.ops import seeds as seeds_mod
     seed_pts, n_seeds = seeds_mod.generate_seeds_device(cloud, cell=0.004)
     t0 = time.time()
@@ -63,6 +130,8 @@ def main():
     t_refine = time.time() - t0
     print(f"# refine-only: {n_seeds} seeds in {t_refine:.2f}s = "
           f"{n_seeds / t_refine:.0f} seeds/s", file=sys.stderr)
+    _record(_result["value"], _result["stage"],
+            refine_seeds_per_s=round(n_seeds / t_refine, 1))
 
     # steady state: time full pipeline end-to-end (seeds + refine + filter).
     # Reps rotate the SAME cloud (fixed seed-count bucket -> no recompiles;
@@ -76,15 +145,12 @@ def main():
         pts, n = up.upsample_device(cloud @ rot.T)
         pts.block_until_ready()
         n_out += n
+        _record(n_out / (time.time() - t0), f"steady_{i}/{reps}")
     dt = time.time() - t0
-    pts_per_sec = n_out / dt
+    _record(n_out / dt, "done")
 
-    print(json.dumps({
-        "metric": "upsampled_points_per_sec_per_chip_4x",
-        "value": round(pts_per_sec, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pts_per_sec / BASELINE_PER_CHIP, 4),
-    }))
+    _done.set()
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -87,7 +87,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
         sched = optim_mod.fd_schedule(eff, steps_per_epoch)
         train_step = steps_mod.make_fd_train_step(
             tx, model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)),
-            use_amp=bool(t_cfg.get("use_amp", False)))
+            use_amp=bool(t_cfg.get("use_amp", False)),
+            accum_steps=int(t_cfg.get("gradient_accumulation", 1)))
         eval_step = steps_mod.make_fd_eval_step(
             model_cfg, beta=float(cfg.get("loss", {}).get("beta", 0.1)))
     opt_state = tx.init(params)

@@ -45,28 +45,57 @@ def _amp_cast(tree, dtype):
 
 def make_fd_train_step(tx, cfg: dict, beta: float = 0.1,
                        clamp_after_step: bool = True,
-                       use_amp: bool = False):
+                       use_amp: bool = False, accum_steps: int = 1):
+    """fd train step. With accum_steps > 1 the batch (size accum*micro) is
+    split into micro-batches whose gradients are averaged in a lax.scan
+    before the single optimizer update. NOTE (parity): the reference fd
+    loop never accumulates — its YAML sets gradient_accumulation: 2 but
+    fd/trainer.py:24-36 ignores it — so configs/fd.yaml pins 1; the knob
+    is honored here so setting it is no longer silently dead."""
     cdt = jnp.bfloat16 if use_amp else jnp.float32
 
     @jax.jit
     def step(params, opt_state, model_state, batch_input, batch_len,
              lr, rng):
-        def loss_fn(p):
+        def loss_fn(p, ms, x, ln, r):
             # model_state (BatchNorm running stats) stays f32 even under
             # AMP — torch autocast keeps BN buffers fp32 too, and bn_apply
             # computes statistics in f32 regardless of activation dtype.
             if use_amp:
                 p = _amp_cast(p, cdt)
-                x = batch_input.astype(cdt)
-            else:
-                x = batch_input
-            pred, new_state, _ = fd_apply(p, model_state, x, cfg,
-                                          training=True, rng=rng)
-            return fd_loss(pred.astype(jnp.float32), batch_len, beta), \
-                new_state
+                x = x.astype(cdt)
+            pred, new_state, _ = fd_apply(p, ms, x, cfg,
+                                          training=True, rng=r)
+            return fd_loss(pred.astype(jnp.float32), ln, beta), new_state
 
-        (loss, new_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps > 1:
+            b = batch_input.shape[0]
+            micro = b // accum_steps
+            assert micro * accum_steps == b, (
+                f"batch {b} not divisible by gradient_accumulation "
+                f"{accum_steps}")
+            xs = batch_input.reshape((accum_steps, micro)
+                                     + batch_input.shape[1:])
+            lns = batch_len.reshape((accum_steps, micro)
+                                    + batch_len.shape[1:])
+            rngs = (jax.random.split(rng, accum_steps)
+                    if rng is not None else None)
+
+            def body(carry, inp):
+                ms, gacc = carry
+                x, ln, r = inp
+                (l, ms2), g = grad_fn(params, ms, x, ln, r)
+                return (ms2, jax.tree.map(jnp.add, gacc, g)), l
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (new_state, gsum), ls = jax.lax.scan(
+                body, (model_state, zeros), (xs, lns, rngs))
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            loss = jnp.mean(ls)
+        else:
+            (loss, new_state), grads = grad_fn(
+                params, model_state, batch_input, batch_len, rng)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = apply_updates_grouped(params, updates, lr, lr)

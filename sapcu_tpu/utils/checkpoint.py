@@ -81,3 +81,19 @@ class CheckpointIO:
 
     def exists(self, filename: str) -> bool:
         return os.path.exists(os.path.join(self.checkpoint_dir, filename))
+
+
+def load_model_weights(bundle, base_dir: str, kind: str,
+                       filename: str = "model_best.pt"):
+    """Swap a (params, state, cfg) model bundle's weights for the ones in
+    ``<base_dir>/<kind>/<filename>`` (the train loop's checkpoint layout).
+
+    Convenience for inference/bench CLIs that build models via get_model
+    and then want trained weights — the analog of the reference's
+    CheckpointIO.load('model_best.pt') at generate.py:119-128.
+    """
+    params, state, cfg = bundle
+    ckpt = CheckpointIO(os.path.join(base_dir, kind),
+                        model=params, model_state=state)
+    ckpt.load(filename)
+    return ckpt.trees["model"], ckpt.trees["model_state"], cfg

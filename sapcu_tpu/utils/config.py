@@ -198,6 +198,11 @@ def apply_platform_env() -> None:
     env var alone is ignored; re-applying it through jax.config before the
     backend initialises makes ``JAX_PLATFORMS=cpu python trainfd.py ...``
     behave as expected. Call first thing in every CLI.
+
+    Also enables the persistent compilation cache: on this runtime TPU
+    compiles go through a slow AOT service (40s for a kernel, minutes for
+    the flagship models; a cold e2e warmup measured 443s), so without a
+    cross-process cache every CLI invocation pays the full compile bill.
     """
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
@@ -205,6 +210,32 @@ def apply_platform_env() -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass  # backend already initialised; keep whatever it picked
+    enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache.
+
+    Verified to work across processes on the axon TPU backend (second
+    process compile+run of the probe kernel: 1.52s -> 0.29s). Opt out with
+    SAPCU_NO_CACHE=1; override the location with SAPCU_CACHE_DIR.
+    """
+    if os.environ.get("SAPCU_NO_CACHE") == "1":
+        return None
+    if path is None:
+        path = os.environ.get("SAPCU_CACHE_DIR")
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # the flagship compiles are minutes; anything >2s is worth keeping
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        return None
+    return path
 
 
 def setup_seed(cfg: dict) -> int:

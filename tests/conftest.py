@@ -17,6 +17,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from sapcu_tpu.utils.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # reruns of the suite skip recompiles
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
