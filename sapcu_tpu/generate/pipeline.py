@@ -36,6 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sapcu_tpu import ops
 from sapcu_tpu.models import fd_model as fdm
 from sapcu_tpu.models import fn_model as fnm
+from sapcu_tpu.models import sc_model as scm
 from sapcu_tpu.ops import seeds as seeds_mod
 
 _XHAT = jnp.array([1.0, 0.0, 0.0], jnp.float32)
@@ -116,6 +117,38 @@ def refine_mega(fn_params, fn_state, fd_params, fd_state, cloud, seeds,
         normals, dist = out
         return normals.reshape(-1, 3), dist.reshape(-1)
     return out.reshape(-1, 3)
+
+
+# ------------------------------------------------ sc (shared-cloud) mode
+@functools.partial(jax.jit, static_argnames=("cfg_s", "chunk",
+                                             "compute_dtype"))
+def sc_refine(sc_params, sc_state, cloud, seeds, cfg_s, chunk: int = 8192,
+              compute_dtype: str = "float32"):
+    """Amortized refine: encode the cloud ONCE, then move every seed with
+    the tiny per-seed head (models/sc_model.py) — one dispatch for the
+    whole padded seed buffer (lax.map over fixed-size tiles).
+
+    Replaces the per-seed fn+fd evaluation of the exact path
+    (~5.4 GFLOP/seed -> ~0.7 MFLOP/seed); quality vs exact is gated by
+    scripts/eval_fast_vs_exact.py --mode sc.
+    """
+    cfg = dict(cfg_s)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if compute_dtype != "float32":
+        sc_params, sc_state = jax.tree.map(
+            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
+            (sc_params, sc_state))
+    cloud_c = cloud[None].astype(cdt)
+    feats, _ = scm.sc_encode(sc_params, sc_state, cloud_c, cfg,
+                             training=False)
+    tiles = seeds.reshape(-1, chunk, 3)
+
+    def body(tile):
+        n, d = scm.sc_head(sc_params, feats, cloud_c, tile[None].astype(cdt),
+                           cfg, training=False)
+        return tile + n[0] * d[0][:, None]
+
+    return jax.lax.map(body, tiles).reshape(-1, 3)
 
 
 # ------------------------------------------------------- fast (probe) mode
@@ -222,7 +255,7 @@ class Upsampler:
                  outlier_threshold: float = 1.5, batch_size: int = 256,
                  seed_chunk: int = 8192, compute_dtype: str = "float32",
                  mega_chunks: int = 8, mode: str = "exact",
-                 probe_factor: float = 8.0, mesh=None):
+                 probe_factor: float = 8.0, mesh=None, sc_bundle=None):
         """mode="exact" runs the fn+fd models per seed (reference
         semantics). mode="fast" amortizes: one exact model evaluation per
         ``probe`` (a probe_factor*dense_spacing voxel-dedup subset of the
@@ -230,9 +263,16 @@ class Upsampler:
         so the predicted normal/distance fields are locally planar), then
         every seed is projected onto its nearest probe's tangent plane.
         ~probe_factor^2-fold fewer model FLOPs for a first-order-accurate
-        output; quality vs exact is pinned by tests/test_pipeline.py."""
+        output; quality vs exact is pinned by tests/test_pipeline.py.
+        mode="sc" uses the shared-cloud encoder (models/sc_model.py,
+        requires sc_bundle): one cloud encoding + a ~0.7 MFLOP/seed head
+        instead of any per-seed patch model."""
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
+        self.sc_bundle = sc_bundle
+        if sc_bundle is not None:
+            self.sc_params, self.sc_state, sc_cfg = sc_bundle
+            self.sc_cfg_s = tuple(sorted(sc_cfg.items()))
         self.fn_cfg_s = tuple(sorted(fn_cfg.items()))
         self.fd_cfg_s = tuple(sorted(fd_cfg.items()))
         self.k_neighbors = k_neighbors
@@ -242,7 +282,9 @@ class Upsampler:
         self.seed_chunk = seed_chunk
         self.compute_dtype = compute_dtype
         self.mega_chunks = mega_chunks
-        assert mode in ("exact", "fast"), mode
+        assert mode in ("exact", "fast", "sc"), mode
+        assert mode != "sc" or sc_bundle is not None, \
+            "mode='sc' needs sc_bundle=(params, state, cfg)"
         self.mode = mode
         self.probe_factor = probe_factor
         # Multi-chip: shard the seed/probe tile axis over the mesh's 'dp'
@@ -259,6 +301,9 @@ class Upsampler:
              self.fd_state) = jax.device_put(
                 (self.fn_params, self.fn_state, self.fd_params,
                  self.fd_state), repl)
+            if sc_bundle is not None:
+                self.sc_params, self.sc_state = jax.device_put(
+                    (self.sc_params, self.sc_state), repl)
 
     def _get_sharded_mega(self, want_nd: bool):
         """Build (once) the shard_map'd analog of refine_mega: tiles
@@ -383,6 +428,45 @@ class Upsampler:
         chunk = min(4096, cap_s, max(512, (1 << 26) // p_used))
         return _interp_project(seed_pts, probes, n_buf, d_buf, chunk=chunk)
 
+    def _sc_moved(self, cloud_j, seed_pts) -> jax.Array:
+        """Shared-cloud-encoder move over the whole padded seed buffer.
+        Pads (at +1e3) cost one head evaluation each and are masked out by
+        the caller's valid mask; one dispatch per cloud. With a mesh the
+        seed-tile axis shards over 'dp' (encode replicated per chip —
+        it is ~1% of the head work)."""
+        chunk = min(8192, seed_pts.shape[0])
+        cap = seed_pts.shape[0]
+        pad = (-cap) % chunk
+        if self.mesh is not None:  # tile count must divide the mesh
+            n_dev = self.mesh.devices.size
+            tiles = -(-(cap + pad) // chunk)
+            pad += (-tiles % n_dev) * chunk
+        if pad:
+            seed_pts = jnp.pad(seed_pts, ((0, pad), (0, 0)),
+                               constant_values=1e3)
+        if self.mesh is not None:
+            out = self._get_sharded_sc(chunk)(
+                self.sc_params, self.sc_state, cloud_j,
+                seed_pts.reshape(-1, chunk, 3))
+            return out.reshape(-1, 3)[:cap]
+        return sc_refine(self.sc_params, self.sc_state, cloud_j, seed_pts,
+                         self.sc_cfg_s, chunk, self.compute_dtype)[:cap]
+
+    def _get_sharded_sc(self, chunk: int):
+        key = ("sc", chunk)
+        if key not in self._sharded_mega:
+            from jax.experimental.shard_map import shard_map
+
+            def mapped(sc_params, sc_state, cloud, tiles):
+                return sc_refine(sc_params, sc_state, cloud,
+                                 tiles.reshape(-1, 3), self.sc_cfg_s, chunk,
+                                 self.compute_dtype).reshape(tiles.shape)
+
+            self._sharded_mega[key] = jax.jit(shard_map(
+                mapped, mesh=self.mesh,
+                in_specs=(P(), P(), P(), P("dp")), out_specs=P("dp")))
+        return self._sharded_mega[key]
+
     def refine_device(self, cloud, seed_pts, n_seeds: int
                       ) -> tuple[jax.Array, int]:
         """seeds [cap, 3] on device (valid count n_seeds) -> (compacted
@@ -393,6 +477,8 @@ class Upsampler:
 
         if self.mode == "fast":
             moved = self._fast_moved(cloud_j, seed_pts, n_seeds)
+        elif self.mode == "sc":
+            moved = self._sc_moved(cloud_j, seed_pts)
         else:
             moved = self._refine_tiles(cloud_j, seed_pts, n_seeds,
                                        want_nd=False)
@@ -410,7 +496,7 @@ class Upsampler:
             moved, keep = jax.device_put((moved, keep), repl)
         else:
             keep = _outlier_mask(moved, valid, self.outlier_threshold,
-                                 approx=self.mode == "fast")
+                                 approx=self.mode != "exact")
         out, n_keep = _compact(moved, keep, cap)
         return out, int(n_keep)
 

@@ -31,8 +31,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                  batch_size: int | None = None,
                  mesh=None, resume: bool = True,
                  seed: int | None = None) -> dict:
-    """Train an fn or fd model; returns summary dict."""
-    assert kind in ("fn", "fd")
+    """Train an fn, fd, or sc model; returns summary dict."""
+    assert kind in ("fn", "fd", "sc")
     t_cfg = cfg["training"]
     logger = RunLogger(out_dir, use_tensorboard=cfg.get(
         "monitoring", {}).get("use_tensorboard", True))
@@ -48,12 +48,44 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
     patience = int(t_cfg.get("patience", 20000))
     min_delta = float(t_cfg.get("min_delta", 1e-4))
 
-    train_ds = data_mod.get_dataset("train", cfg, kind)
-    val_ds = data_mod.get_dataset("val", cfg, kind)
-    train_loader = data_mod.DataLoader(train_ds, batch_size, shuffle=True,
-                                       drop_last=True, seed=seed or 0)
-    val_loader = data_mod.DataLoader(val_ds, batch_size, shuffle=False,
-                                     drop_last=True, seed=0)
+    if cfg.get("data", {}).get("device_synthetic"):
+        # Batches synthesized ON-DEVICE by a jitted generator — zero
+        # host->device data traffic per step (the runtime's stdio tunnel
+        # makes streamed batches cost seconds each). See data/device_synth.
+        from sapcu_tpu.data.device_synth import DeviceSynthLoader
+        d_cfg = cfg["data"]
+        spe = int(d_cfg.get("steps_per_epoch", 250))
+        if kind == "fn":
+            gen_kwargs = dict(n_patches=int(d_cfg.get("patch_n", 64)),
+                              k=int(d_cfg.get("patch_k", 12)),
+                              n_cloud=int(d_cfg.get("pointcloud_n", 512)))
+        elif kind == "fd":
+            gen_kwargs = dict(
+                n_queries=int(d_cfg.get("num_input_points", 256)),
+                k=int(cfg.get("model", {}).get("k", 32)),
+                n_cloud=int(d_cfg.get("num_input_points", 256)))
+        else:  # sc
+            gen_kwargs = dict(n_cloud=int(d_cfg.get("pointcloud_n", 1024)),
+                              n_queries=int(d_cfg.get("num_queries", 512)),
+                              n_dense=int(d_cfg.get("num_gt_points", 4096)))
+        train_loader = DeviceSynthLoader(kind, batch_size, spe,
+                                         seed=(seed or 0), train=True,
+                                         **gen_kwargs)
+        val_loader = DeviceSynthLoader(kind, batch_size,
+                                       max(spe // 10, 4),
+                                       seed=(seed or 0) + 7919, train=False,
+                                       **gen_kwargs)
+        train_ds = val_ds = ()
+    elif kind == "sc":
+        raise ValueError("the sc model trains on device-synthesized data; "
+                         "set data.device_synthetic (or --device-synthetic)")
+    else:
+        train_ds = data_mod.get_dataset("train", cfg, kind)
+        val_ds = data_mod.get_dataset("val", cfg, kind)
+        train_loader = data_mod.DataLoader(train_ds, batch_size, shuffle=True,
+                                           drop_last=True, seed=seed or 0)
+        val_loader = data_mod.DataLoader(val_ds, batch_size, shuffle=False,
+                                         drop_last=True, seed=0)
     steps_per_epoch = max(len(train_loader), 1)
     logger.message(f"{kind}: train={len(train_ds)} val={len(val_ds)} "
                    f"batch={batch_size} steps/epoch={steps_per_epoch}")
@@ -76,6 +108,21 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             tx, model_cfg, use_amp=bool(t_cfg.get("use_amp", False)),
             accum_steps=int(t_cfg.get("gradient_accumulation", 1)))
         eval_step = steps_mod.make_fn_eval_step(model_cfg)
+    elif kind == "sc":
+        tx = optim_mod.make_tx(
+            params, optimizer=t_cfg.get("optimizer", "adamw"),
+            betas=tuple(t_cfg.get("betas", (0.9, 0.999))),
+            eps=float(t_cfg.get("eps", 1e-8)),
+            weight_decay=float(t_cfg.get("weight_decay", 1e-4)),
+            grad_clip=t_cfg.get("grad_clip"),
+            grad_clip_type=t_cfg.get("grad_clip_type", "norm"),
+            snn_groups=False)
+        sched = optim_mod.sc_schedule(cfg)
+        disp_w = float(cfg.get("loss", {}).get("disp_weight", 100.0))
+        train_step = steps_mod.make_sc_train_step(
+            tx, model_cfg, use_amp=bool(t_cfg.get("use_amp", False)),
+            disp_weight=disp_w)
+        eval_step = steps_mod.make_sc_eval_step(model_cfg, disp_weight=disp_w)
     else:
         eff = effective_fd_training(cfg)
         tx = optim_mod.make_tx(
@@ -140,6 +187,9 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             if kind == "fn":
                 m = eval_step(params, model_state, batch["input"],
                               batch["normal"])
+            elif kind == "sc":
+                m = eval_step(params, model_state, batch["cloud"],
+                              batch["query"], batch["normal"], batch["len"])
             else:
                 m, carry = eval_step(params, model_state, batch["input"],
                                      batch["len"], carry)
@@ -205,6 +255,12 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                      ok) = train_step(params, opt_state, model_state,
                                       batch["input"], batch["normal"],
                                       lr, snn_lr, step_rng)
+                elif kind == "sc":
+                    (params, opt_state, model_state, loss, gnorm,
+                     ok) = train_step(params, opt_state, model_state,
+                                      batch["cloud"], batch["query"],
+                                      batch["normal"], batch["len"],
+                                      lr, step_rng)
                 else:
                     (params, opt_state, model_state, loss, gnorm,
                      ok) = train_step(params, opt_state, model_state,

@@ -137,6 +137,26 @@ def fn_schedule(cfg: dict) -> Callable[[int, int], tuple[float, float]]:
     return sched
 
 
+def sc_schedule(cfg: dict) -> Callable[[int, int], tuple[float, float]]:
+    """Clean warmup+cosine for the sc model (a new model family — no
+    reference quirks to preserve)."""
+    t = cfg["training"]
+    base = float(t.get("lr", 1e-3))
+    warmup = int(t.get("warmup_steps", 500))
+    t_max = int(t.get("max_iterations", 50000))
+    min_lr = float(t.get("min_lr", 1e-5))
+
+    def sched(it: int, epoch: int) -> tuple[float, float]:
+        if warmup > 0 and it < warmup:
+            lr = base * it / warmup
+        else:
+            frac = min(max(it - warmup, 0) / max(t_max - warmup, 1), 1.0)
+            lr = min_lr + (base - min_lr) * 0.5 * (1 + math.cos(math.pi * frac))
+        return lr, lr
+
+    return sched
+
+
 def fd_schedule(eff: dict, steps_per_epoch: int
                 ) -> Callable[[int, int], tuple[float, float]]:
     base = eff["learning_rate"]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from sapcu_tpu.models import (fd_apply, fd_loss, fn_apply, fn_loss,
-                              angular_error_deg)
+                              angular_error_deg, sc_apply, sc_loss)
 from sapcu_tpu.train.optim import apply_updates_grouped, clamp_snn_params
 
 
@@ -194,6 +194,58 @@ def make_fn_train_step(tx, cfg: dict, consistency_weight: float = 0.15,
         opt_out = _select(ok, new_opt, opt_state)
         state_out = _select(ok, new_state, model_state)
         return params_out, opt_out, state_out, loss, conf, grad_norm, ok
+
+    return step
+
+
+def make_sc_train_step(tx, cfg: dict, use_amp: bool = False,
+                       disp_weight: float = 100.0):
+    """Shared-cloud-encoder step (models/sc_model.py): batch =
+    {'cloud', 'query', 'normal', 'len'} from data/device_synth.py."""
+    cdt = jnp.bfloat16 if use_amp else jnp.float32
+
+    @jax.jit
+    def step(params, opt_state, model_state, cloud, query, gt_normal,
+             gt_len, lr, rng):
+        def loss_fn(p):
+            if use_amp:
+                p = _amp_cast(p, cdt)
+                c = cloud.astype(cdt)
+            else:
+                c = cloud
+            normal, dist, new_state = sc_apply(p, model_state, c, query,
+                                               cfg, training=True, rng=rng)
+            return sc_loss(normal, dist, gt_normal, gt_len,
+                           disp_weight=disp_weight), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = apply_updates_grouped(params, updates, lr, lr)
+        new_params = clamp_snn_params(new_params)
+
+        ok = _all_finite(grads) & jnp.isfinite(loss)
+        params_out = _select(ok, new_params, params)
+        opt_out = _select(ok, new_opt, opt_state)
+        state_out = _select(ok, new_state, model_state)
+        return params_out, opt_out, state_out, loss, grad_norm, ok
+
+    return step
+
+
+def make_sc_eval_step(cfg: dict, disp_weight: float = 100.0):
+    @jax.jit
+    def step(params, model_state, cloud, query, gt_normal, gt_len):
+        normal, dist, _ = sc_apply(params, model_state, cloud, query, cfg,
+                                   training=False)
+        loss = sc_loss(normal, dist, gt_normal, gt_len,
+                       disp_weight=disp_weight)
+        mae = jnp.mean(jnp.abs(dist - gt_len))
+        mse = jnp.mean((dist - gt_len) ** 2)
+        ang = angular_error_deg(normal, gt_normal)
+        return {"loss": loss, "mae": mae, "mse": mse,
+                "angular_error_deg": ang}
 
     return step
 

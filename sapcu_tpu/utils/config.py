@@ -121,6 +121,16 @@ def get_model(cfg: dict, kind: str, seed: int | None = None):
             dropout=mc.get("dropout", 0.1),
             decoder_dropout=mc.get("decoder_dropout", 0.1),
         )
+    if kind == "sc":
+        return models.init_sc_model(
+            key,
+            k=mc.get("k", 16),
+            feat_dims=mc.get("feat_dims", 256),
+            m_neighbors=mc.get("m_neighbors", 8),
+            head_hidden=mc.get("head_hidden", 128),
+            time_steps=mc.get("time_steps_enc", 4),
+            dropout=mc.get("dropout", 0.0),
+        )
     if kind == "fd":
         eif = mc.get("eif_params", {})
         return models.init_fd_model(

@@ -1,0 +1,110 @@
+"""Device-resident synthetic data generator (data/device_synth.py).
+
+Pins the self-supervised label semantics the TPU training runs rely on:
+pseudo-normals (sample_mesh-fn.py:95-173) and 1-NN distance labels
+(fd/datacore.py:124-129) computed against the generator's own dense
+surface sampling.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sapcu_tpu.data import device_synth as ds
+
+
+def _sphere_shape(r=0.4):
+    """Degenerate composite: two identical centered ellipsoids = sphere."""
+    shape = jax.tree.map(lambda a: a, ds.sample_shape_params(
+        jax.random.PRNGKey(0)))
+    for c in shape["comps"]:
+        c["onehot"] = jnp.array([1.0, 0.0, 0.0, 0.0])
+        c["radii"] = jnp.array([r, r, r])
+        c["center"] = jnp.zeros(3)
+        c["rot"] = jnp.eye(3)
+    shape["bump_amp"] = jnp.array(0.0)
+    return shape
+
+
+def test_projection_lands_on_surface():
+    shape = _sphere_shape(0.4)
+    pts = ds.sample_surface(shape, jax.random.PRNGKey(1), 256)
+    radii = np.linalg.norm(np.asarray(pts), axis=1)
+    np.testing.assert_allclose(radii, 0.4, atol=2e-3)
+
+
+def test_sdf_distances_match_sphere():
+    shape = _sphere_shape(0.4)
+    p = jnp.array([[0.0, 0.0, 0.45], [0.1, 0.0, 0.0]])
+    d = np.asarray(ds.shape_sdf(shape, p))
+    np.testing.assert_allclose(d, [0.05, -0.3], atol=5e-3)
+
+
+def test_fn_labels_point_toward_surface():
+    """On a sphere the pseudo-normal at q (outside) is -q̂ (toward surface),
+    at q (inside) +q̂ — i.e. always toward the surface, the orientation
+    generation.py's move step needs."""
+    batch = ds.fn_synth_batch(jax.random.PRNGKey(2), 2, n_dense=512,
+                              n_cloud=128, n_patches=16, k=8)
+    assert batch["input"].shape == (2, 16, 8, 3)
+    assert batch["normal"].shape == (2, 16, 3)
+    nrm = np.linalg.norm(np.asarray(batch["normal"]), axis=-1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
+
+    # direct check on the sphere. The estimator's tilt noise scales with
+    # sampling spacing / offset (the reference uses 800k samples), so the
+    # check uses a dense sampling and the top of the offset band.
+    shape = _sphere_shape(0.4)
+    dense = ds.sample_surface(shape, jax.random.PRNGKey(3), 8192)
+    q = jnp.array([[0.0, 0.0, 0.43], [0.0, 0.37, 0.0]])
+    pn = np.asarray(ds._pseudo_normal(dense, q))
+    # outside point: toward surface = -ẑ; inside point: toward surface = +ŷ
+    assert pn[0, 2] < -0.9
+    assert pn[1, 1] > 0.9
+
+
+def test_fd_lengths_match_true_distance():
+    shape = _sphere_shape(0.4)
+    dense = ds.sample_surface(shape, jax.random.PRNGKey(4), 4096)
+    q = jnp.array([[0.0, 0.0, 0.42], [0.0, 0.37, 0.0], [0.41, 0.0, 0.0]])
+    dd = ds.ops.pairwise_sqdist(q, dense)
+    lens = np.sqrt(np.maximum(np.asarray(jnp.min(dd, axis=-1)), 0))
+    # the 1-NN estimator (the reference's own, fd/datacore.py:124-129)
+    # overestimates by up to ~the sampling spacing (0.016 at 4096 pts on
+    # this sphere): true distance is a lower bound, spacing the slack
+    true = np.array([0.02, 0.03, 0.01])
+    assert (lens >= true - 1e-4).all()
+    assert (lens <= true + 0.012).all()
+
+
+def test_fd_batch_patch_rotation():
+    """Rotated patches: the toward-surface direction maps to +x̂, so patch
+    points (which straddle the surface near the query) should have their
+    centroid biased toward +x for outside queries."""
+    batch = ds.fd_synth_batch(jax.random.PRNGKey(5), 2, n_dense=512,
+                              n_cloud=128, n_queries=16, k=8)
+    assert batch["input"].shape == (2, 16, 8, 3)
+    assert batch["len"].shape == (2, 16)
+    lens = np.asarray(batch["len"])
+    # offsets are <= 0.03 but the 1-NN estimator adds up to ~the dense
+    # sampling spacing (coarse here: n_dense=512)
+    assert (lens >= 0).all() and (lens < 0.12).all()
+    cent = np.asarray(batch["input"]).mean(axis=2)      # [B, N, 3]
+    # toward-surface axis is +x after rotation; the patch centroid's x
+    # component should be positive for most queries (pseudo-normals are
+    # noisy at this deliberately tiny dense sampling)
+    assert (cent[..., 0] > 0).mean() > 0.75
+    assert cent[..., 0].mean() > 0.01
+
+
+def test_loader_epochs_and_determinism():
+    tr = ds.DeviceSynthLoader("fn", 2, 3, seed=0, train=True,
+                              n_dense=256, n_cloud=64, n_patches=8, k=6)
+    va = ds.DeviceSynthLoader("fn", 2, 2, seed=1, train=False,
+                              n_dense=256, n_cloud=64, n_patches=8, k=6)
+    e1 = [np.asarray(b["normal"]) for b in tr]
+    e2 = [np.asarray(b["normal"]) for b in tr]
+    assert len(e1) == 3
+    assert not np.allclose(e1[0], e2[0])       # fresh data per epoch
+    v1 = [np.asarray(b["normal"]) for b in va]
+    v2 = [np.asarray(b["normal"]) for b in va]
+    np.testing.assert_array_equal(v1[0], v2[0])  # fixed val set

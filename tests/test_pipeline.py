@@ -125,3 +125,45 @@ def test_fast_mode_close_to_exact(upsampler):
     cd_ec = float(metrics.chamfer(e, jnp.asarray(cloud)[None]))
     assert np.isfinite(cd_fe)
     assert cd_fe < 0.05 * max(cd_ec, 1e-6), (cd_fe, cd_ec)
+
+
+# ------------------------------------------------ sc (shared-cloud) mode
+def _sc_upsampler(mesh=None):
+    fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
+                                     k_values=(6, 6, 4), emb_dims=32,
+                                     time_steps_enc=2, num_heads=4)
+    fd_bundle = models.init_fd_model(jax.random.PRNGKey(1), k=8, emb_dims=48,
+                                     time_steps=2, k_scales=(4, 8),
+                                     num_heads=4)
+    sc_bundle = models.init_sc_model(jax.random.PRNGKey(2), k=8,
+                                     feat_dims=32, m_neighbors=4,
+                                     head_hidden=16, time_steps=2)
+    return Upsampler(fn_bundle, fd_bundle, k_neighbors=16,
+                     dense_spacing=0.02, batch_size=64, mode="sc",
+                     sc_bundle=sc_bundle, mesh=mesh)
+
+
+def test_sc_mode_end_to_end():
+    up = _sc_upsampler()
+    cloud = _sphere(300)
+    out = up.upsample(cloud)
+    assert out.shape[0] > 100 and out.shape[1] == 3
+    assert np.all(np.isfinite(out))
+    # random-init Softplus head => small distances: output stays near the
+    # seed shell around the sphere
+    radii = np.linalg.norm(out, axis=1)
+    assert radii.min() > 0.2 and radii.max() < 0.7
+
+
+def test_sc_mode_sharded_matches_single():
+    from sapcu_tpu import parallel
+
+    cloud = _sphere(300)
+    up1 = _sc_upsampler()
+    pts1, n1 = up1.upsample_device(cloud)
+    mesh = parallel.data_parallel_mesh(jax.devices()[:8])
+    up8 = _sc_upsampler(mesh=mesh)
+    pts8, n8 = up8.upsample_device(cloud)
+    assert n1 == n8
+    np.testing.assert_allclose(np.asarray(pts1[:n1]), np.asarray(pts8[:n8]),
+                               atol=2e-5)

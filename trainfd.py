@@ -30,6 +30,11 @@ def main():
     p.add_argument("--max-iterations", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="Use the synthetic ellipsoid dataset")
+    p.add_argument("--device-synthetic", action="store_true",
+                   help="Generate batches on-device (data/device_synth.py);"
+                        " zero per-step host->device traffic")
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="Epoch length for --device-synthetic")
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
@@ -39,6 +44,10 @@ def main():
         print(f"Overriding batch size to: {args.batch_size}")
     if args.synthetic:
         cfg["data"]["synthetic"] = True
+    if args.device_synthetic:
+        cfg["data"]["device_synthetic"] = True
+    if args.steps_per_epoch is not None:
+        cfg["data"]["steps_per_epoch"] = args.steps_per_epoch
     seed = setup_seed(cfg)
 
     mesh = None

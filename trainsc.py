@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Train the fn (normal estimation) model.
+"""Train the sc (shared-cloud encoder) model — the amortized fast path.
 
-CLI surface mirrors the reference trainfn.py:17-28 (--multi_gpu,
---batch_size) plus quality-of-life extensions (--config, --out-dir,
---max-iterations, --synthetic, --no-resume). Multi-device runs shard the
-batch over a jax.sharding Mesh instead of DataParallel.
+A new model family with no reference counterpart (models/sc_model.py):
+one cloud encoding + a tiny per-seed head replaces the reference's
+per-seed patch evaluation (generation.py:122-172). Trains on device-
+synthesized data only (data/device_synth.py).
 """
 import argparse
 
@@ -19,21 +19,15 @@ apply_platform_env()
 
 
 def main():
-    p = argparse.ArgumentParser(description="Train FN model")
+    p = argparse.ArgumentParser(description="Train SC model")
     p.add_argument("--multi_gpu", "--multi-chip", action="store_true",
                    dest="multi_chip",
                    help="Data-parallel over all visible devices")
     p.add_argument("--batch_size", "--batch-size", type=int, default=None)
-    p.add_argument("--config", default="configs/fn.yaml")
-    p.add_argument("--out-dir", default="out/fn")
+    p.add_argument("--config", default="configs/sc.yaml")
+    p.add_argument("--out-dir", default="out/sc")
     p.add_argument("--max-iterations", type=int, default=None)
-    p.add_argument("--synthetic", action="store_true",
-                   help="Use the synthetic ellipsoid dataset")
-    p.add_argument("--device-synthetic", action="store_true",
-                   help="Generate batches on-device (data/device_synth.py);"
-                        " zero per-step host->device traffic")
-    p.add_argument("--steps-per-epoch", type=int, default=None,
-                   help="Epoch length for --device-synthetic")
+    p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
@@ -41,10 +35,6 @@ def main():
     if args.batch_size is not None:
         cfg["training"]["batch_size"] = args.batch_size
         print(f"Overriding batch size to: {args.batch_size}")
-    if args.synthetic:
-        cfg["data"]["synthetic"] = True
-    if args.device_synthetic:
-        cfg["data"]["device_synthetic"] = True
     if args.steps_per_epoch is not None:
         cfg["data"]["steps_per_epoch"] = args.steps_per_epoch
     seed = setup_seed(cfg)
@@ -54,7 +44,7 @@ def main():
         mesh = parallel.data_parallel_mesh()
         print(f"Data-parallel over {len(jax.devices())} devices")
 
-    summary = run_training("fn", cfg, args.out_dir,
+    summary = run_training("sc", cfg, args.out_dir,
                            max_iterations=args.max_iterations,
                            batch_size=args.batch_size, mesh=mesh,
                            resume=not args.no_resume, seed=seed)
