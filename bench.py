@@ -82,26 +82,31 @@ def main():
 
     from sapcu_tpu.generate import Upsampler
 
-    fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
-    fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
-
-    weights = os.environ.get("BENCH_WEIGHTS", "out/release")
-    if os.path.exists(os.path.join(weights, "fn", "model_best.pt")):
-        from sapcu_tpu.utils.checkpoint import load_model_weights
-        fn_bundle = load_model_weights(fn_bundle, weights, "fn")
-        fd_bundle = load_model_weights(fd_bundle, weights, "fd")
-        print(f"# weights: trained ({weights})", file=sys.stderr)
-        trained = True
-    else:
-        print("# weights: random init (same FLOPs as trained)",
-              file=sys.stderr)
-        trained = False
-
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "fast")
+
+    fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
+    fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
+    sc_bundle = (get_model(load_config("configs/sc.yaml"), "sc")
+                 if mode == "sc" else None)
+
+    weights = os.environ.get("BENCH_WEIGHTS", "out/release")
+    trained = os.path.exists(os.path.join(weights, "fn", "model_best.pt"))
+    if trained:
+        from sapcu_tpu.utils.checkpoint import load_model_weights
+        fn_bundle = load_model_weights(fn_bundle, weights, "fn")
+        fd_bundle = load_model_weights(fd_bundle, weights, "fd")
+        if sc_bundle is not None and os.path.exists(
+                os.path.join(weights, "sc", "model_best.pt")):
+            sc_bundle = load_model_weights(sc_bundle, weights, "sc")
+        print(f"# weights: trained ({weights})", file=sys.stderr)
+    else:
+        print("# weights: random init (same FLOPs as trained)",
+              file=sys.stderr)
+
     up = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
-                   compute_dtype=dtype, mode=mode)
+                   compute_dtype=dtype, mode=mode, sc_bundle=sc_bundle)
     _record(0.0, "compiling", mode=mode, trained_weights=trained)
 
     rng = np.random.default_rng(0)

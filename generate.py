@@ -40,19 +40,24 @@ def load_models(args):
     cfg_fd = load_config(args.fd_config)
     fn_bundle = get_model(cfg_fn, "fn")
     fd_bundle = get_model(cfg_fd, "fd")
+    sc_bundle = None
+    if args.mode == "sc":
+        sc_bundle = get_model(load_config(args.sc_config), "sc")
     if not args.random_weights:
-        for name, bundle, out_dir in [("fn", fn_bundle, args.fn_dir),
-                                      ("fd", fd_bundle, args.fd_dir)]:
+        loads = [("fn", fn_bundle, args.fn_dir), ("fd", fd_bundle, args.fd_dir)]
+        if sc_bundle is not None:
+            loads.append(("sc", sc_bundle, args.sc_dir))
+        out = {}
+        for name, bundle, out_dir in loads:
             ckpt = CheckpointIO(out_dir, model=bundle[0],
                                 model_state=bundle[1])
             ckpt.load(args.checkpoint)
-            params, state = ckpt.trees["model"], ckpt.trees["model_state"]
-            if name == "fn":
-                fn_bundle = (params, state, bundle[2])
-            else:
-                fd_bundle = (params, state, bundle[2])
+            out[name] = (ckpt.trees["model"], ckpt.trees["model_state"],
+                         bundle[2])
             print(f"Loaded {name} checkpoint from {out_dir}/{args.checkpoint}")
-    return fn_bundle, fd_bundle
+        fn_bundle, fd_bundle = out["fn"], out["fd"]
+        sc_bundle = out.get("sc", sc_bundle)
+    return fn_bundle, fd_bundle, sc_bundle
 
 
 def process_file(input_path, output_path, upsampler, target_points,
@@ -107,15 +112,23 @@ def main():
                         "all seeds (~probe-factor^2 fewer model FLOPs)")
     p.add_argument("--probe-factor", type=float, default=8.0,
                    help="fast-mode probe spacing in units of dense-spacing")
+    p.add_argument("--mode", choices=["exact", "fast", "sc"], default=None,
+                   help="refine mode (--fast is shorthand for --mode fast); "
+                        "sc = shared-cloud encoder (models/sc_model.py)")
+    p.add_argument("--sc-config", default="configs/sc.yaml")
+    p.add_argument("--sc-dir", default="out/sc")
     args = p.parse_args()
+    if args.mode is None:
+        args.mode = "fast" if args.fast else "exact"
 
-    fn_bundle, fd_bundle = load_models(args)
+    fn_bundle, fd_bundle, sc_bundle = load_models(args)
     gen = Upsampler(fn_bundle, fd_bundle, k_neighbors=args.k_neighbors,
                     dense_spacing=args.dense_spacing,
                     batch_size=args.batch_size,
                     compute_dtype=args.compute_dtype,
-                    mode="fast" if args.fast else "exact",
-                    probe_factor=args.probe_factor)
+                    mode=args.mode,
+                    probe_factor=args.probe_factor,
+                    sc_bundle=sc_bundle)
 
     jobs = []
     if args.input:

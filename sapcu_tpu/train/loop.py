@@ -47,6 +47,15 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
     early_stopping = bool(t_cfg.get("early_stopping", False))
     patience = int(t_cfg.get("patience", 20000))
     min_delta = float(t_cfg.get("min_delta", 1e-4))
+    # Tunnel-aware checkpoint throttles: on this runtime every checkpoint
+    # pulls the full params (+optimizer) through the ~100s-KB/s stdio
+    # relay, so TPU runs set save_optimizer=false (resume restarts the
+    # optimizer) and space best-model saves at least
+    # best_save_min_interval iterations apart (the improvement is still
+    # TRACKED every validation; only the device->host pull is throttled,
+    # and the final best is always written at run end).
+    save_optimizer = bool(t_cfg.get("save_optimizer", True))
+    best_save_min_interval = int(t_cfg.get("best_save_min_interval", 0))
 
     if cfg.get("data", {}).get("device_synthetic"):
         # Batches synthesized ON-DEVICE by a jitted generator — zero
@@ -145,6 +154,8 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
     epoch_it, it = 0, 0
     metric_val_best = float("inf")
     best_it = 0  # patience anchor for early stopping
+    last_best_save = -(10 ** 12)  # first improvement always writes
+    best_snapshot = None          # device-side (params, state) pending write
     resume_file = (cfg.get("checkpoint", {}).get("resume_file", "model_best.pt")
                    if kind == "fn" else "model_best.pt")
     if resume and ckpt.exists(resume_file):
@@ -171,9 +182,15 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
         opt_state = parallel.replicate_tree(mesh, opt_state)
         model_state = parallel.replicate_tree(mesh, model_state)
 
-    def save(name: str):
-        ckpt.register(model=params, optimizer=opt_state,
-                      model_state=model_state)
+    def save(name: str, p=None, ms=None):
+        if save_optimizer:
+            ckpt.register(model=p if p is not None else params,
+                          optimizer=opt_state,
+                          model_state=ms if ms is not None else model_state)
+        else:
+            ckpt.trees.pop("optimizer", None)
+            ckpt.register(model=p if p is not None else params,
+                          model_state=ms if ms is not None else model_state)
         ckpt.save(name, epoch_it=epoch_it, it=it,
                   loss_val_best=metric_val_best)
 
@@ -310,7 +327,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                         metric_val_best = metric_val
                         logger.message(
                             f"New best model! Loss: {metric_val_best:.6f}")
-                        save("model_best.pt")
+                        # device-side snapshot is free; only the WRITE
+                        # (a device->host pull) is throttled
+                        best_snapshot = (params, model_state)
+                        if it - last_best_save >= best_save_min_interval:
+                            save("model_best.pt")
+                            last_best_save = it
+                            best_snapshot = None
                         best_it = it
                     if early_stopping and it - best_it >= patience:
                         logger.message(
@@ -322,10 +345,16 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                     stop = True
                     break
         flush_pending()
+        if best_snapshot is not None:  # throttled best, write it now
+            save("model_best.pt", *best_snapshot)
+            best_snapshot = None
         save("model_final.pt")
     except KeyboardInterrupt:
         flush_pending()
         logger.message("Training interrupted by user. Saving checkpoint...")
+        if best_snapshot is not None:
+            save("model_best.pt", *best_snapshot)
+            best_snapshot = None
         save("model_interrupt.pt")
     except Exception as e:
         logger.message(f"Exception during training: {e}")

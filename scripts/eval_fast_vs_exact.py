@@ -1,21 +1,30 @@
 #!/usr/bin/env python
-"""Fast-mode quality gate: Chamfer proximity of fast vs exact outputs.
+"""Fast-path quality gate: Chamfer proximity of fast/sc vs exact outputs.
 
-Runs the production Upsampler in both modes on synthetic PU1K-style
-clouds (unit-sphere-normalized shapes at PU1K input sizes) with the
-flagship models, and reports, per cloud:
+Runs the production Upsampler in exact mode and each fast path on
+synthetic PU1K-style clouds (unit-sphere-normalized shapes at PU1K input
+sizes) with the flagship models, and reports, per cloud and mode:
 
-- cd_fast_exact: symmetric Chamfer-L2 between the fast and exact outputs
+- cd_mode_exact: symmetric Chamfer-L2 between the mode's and exact outputs
 - cd_exact_cloud: Chamfer-L2 between the exact output and the input
   cloud (the scale of real signal in the output)
-- ratio = cd_fast_exact / cd_exact_cloud — the VERDICT r1 quality bar
-  asks for fast within 1% of exact; tests/test_pipeline.py pins the
-  same structure at tiny dims, this script measures it at flagship dims
-  on real hardware.
+- ratio = cd_mode_exact / cd_exact_cloud — the quality bar asks for the
+  fast path within 1% of exact; tests/test_pipeline.py pins the same
+  structure at tiny dims, this script measures it at flagship dims on
+  real hardware.
 
-Prints one JSON line per cloud plus a summary line. Env: FX_MODES
-(default "exact,fast"), FX_PROBE_FACTOR (default 8.0), FX_SIZES
-(default "2048"), FX_DTYPE (default bfloat16), FX_BATCH (default 1024).
+All Chamfer math runs ON DEVICE (the outputs are 100k+ points; pulling
+them over the stdio tunnel is both slow and wedge-prone) — only scalar
+distances cross to the host.
+
+Prints one JSON line per (cloud, mode) plus a summary line. Env:
+FX_MODES (default "fast" — comma list of {fast,sc}), FX_PROBE_FACTOR
+(default 8.0), FX_SIZES (default "2048"), FX_DTYPE (default bfloat16),
+FX_BATCH (default 1024), FX_WEIGHTS (checkpoint base dir with
+{fn,fd,sc}/model_best.pt; default out/release, falls back to random init
+— VERDICT r2 weak #2 asks for this gate re-measured with TRAINED
+weights, since a random-init fd head emits a near-constant field that
+flatters interpolation).
 """
 import json
 import os
@@ -24,7 +33,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
+from sapcu_tpu.utils.config import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+import numpy as np  # noqa: E402
 
 
 def make_cloud(kind: str, n: int, rng) -> np.ndarray:
@@ -57,26 +70,56 @@ def make_cloud(kind: str, n: int, rng) -> np.ndarray:
 def main():
     import jax.numpy as jnp
 
+    from sapcu_tpu import ops as _ops
     from sapcu_tpu.generate import Upsampler
-    from sapcu_tpu.ops import metrics  # noqa: F401 (threshold variants)
     from sapcu_tpu.utils import load_config, get_model
 
     batch = int(os.environ.get("FX_BATCH", 1024))
     dtype = os.environ.get("FX_DTYPE", "bfloat16")
     pf = float(os.environ.get("FX_PROBE_FACTOR", 8.0))
     sizes = [int(s) for s in os.environ.get("FX_SIZES", "2048").split(",")]
+    modes = os.environ.get("FX_MODES", "fast").split(",")
 
     fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
+    sc_bundle = (get_model(load_config("configs/sc.yaml"), "sc")
+                 if "sc" in modes else None)
+
+    weights = os.environ.get("FX_WEIGHTS", "out/release")
+    trained = os.path.exists(os.path.join(weights, "fn", "model_best.pt"))
+    if trained:
+        from sapcu_tpu.utils.checkpoint import load_model_weights
+        fn_bundle = load_model_weights(fn_bundle, weights, "fn")
+        fd_bundle = load_model_weights(fd_bundle, weights, "fd")
+        if sc_bundle is not None and os.path.exists(
+                os.path.join(weights, "sc", "model_best.pt")):
+            sc_bundle = load_model_weights(sc_bundle, weights, "sc")
+        print(f"# weights: trained ({weights})", file=sys.stderr)
+    else:
+        print("# weights: random init (best-case bound — see docstring)",
+              file=sys.stderr)
+
     kw = dict(batch_size=batch, compute_dtype=dtype)
-    ups = {
-        "exact": Upsampler(fn_bundle, fd_bundle, **kw),
-        "fast": Upsampler(fn_bundle, fd_bundle, mode="fast",
-                          probe_factor=pf, **kw),
-    }
+    ups = {"exact": Upsampler(fn_bundle, fd_bundle, **kw)}
+    for m in modes:
+        if m == "fast":
+            ups["fast"] = Upsampler(fn_bundle, fd_bundle, mode="fast",
+                                    probe_factor=pf, **kw)
+        elif m == "sc":
+            ups["sc"] = Upsampler(fn_bundle, fd_bundle, mode="sc",
+                                  sc_bundle=sc_bundle, **kw)
+
+    def chamfer_big(a, b):
+        # tiled 1-NN both ways, on device: the outputs are 100k+ points —
+        # a full pairwise matrix would need >100 GB and a host transfer
+        # would crawl through the tunnel
+        ab, _ = _ops.knn_tiled(a, b, k=1, chunk=4096)
+        ba, _ = _ops.knn_tiled(b, a, k=1, chunk=4096)
+        return float(0.5 * jnp.mean(jnp.maximum(ab, 0.0))
+                     + 0.5 * jnp.mean(jnp.maximum(ba, 0.0)))
 
     rng = np.random.default_rng(0)
-    ratios = []
+    ratios: dict[str, list] = {m: [] for m in ups if m != "exact"}
     for kind in ["sphere", "torus", "bumpy"]:
         for n in sizes:
             cloud = make_cloud(kind, n, rng)
@@ -84,37 +127,30 @@ def main():
             for mode, up in ups.items():
                 t0 = time.time()
                 pts, nv = up.upsample_device(cloud)
-                pts = np.asarray(pts[:nv])
+                outs[mode] = pts[:nv]        # stays on device
                 times[mode] = time.time() - t0
-                outs[mode] = pts
-            from sapcu_tpu import ops as _ops
-
-            def chamfer_big(a, b):
-                # tiled 1-NN both ways: the outputs are 100k+ points, a
-                # full pairwise matrix would need >100 GB
-                ab, _ = _ops.knn_tiled(a, b, k=1, chunk=4096)
-                ba, _ = _ops.knn_tiled(b, a, k=1, chunk=4096)
-                return float(0.5 * jnp.mean(jnp.maximum(ab, 0.0))
-                             + 0.5 * jnp.mean(jnp.maximum(ba, 0.0)))
-
-            e = jnp.asarray(outs["exact"])
-            f = jnp.asarray(outs["fast"])
             c = jnp.asarray(cloud)
-            cd_fe = chamfer_big(f, e)
-            cd_ec = chamfer_big(e, c)
-            ratio = cd_fe / max(cd_ec, 1e-12)
-            ratios.append(ratio)
-            print(json.dumps({
-                "cloud": f"{kind}-{n}", "n_exact": len(outs["exact"]),
-                "n_fast": len(outs["fast"]), "cd_fast_exact": cd_fe,
-                "cd_exact_cloud": cd_ec, "ratio": ratio,
-                "t_exact_s": round(times["exact"], 2),
-                "t_fast_s": round(times["fast"], 2),
-            }), flush=True)
-    print(json.dumps({"summary": "fast_vs_exact",
-                      "probe_factor": pf,
-                      "max_ratio": max(ratios),
-                      "pass_1pct": max(ratios) <= 0.01}), flush=True)
+            cd_ec = chamfer_big(outs["exact"], c)
+            for mode in ratios:
+                cd_me = chamfer_big(outs[mode], outs["exact"])
+                ratio = cd_me / max(cd_ec, 1e-12)
+                ratios[mode].append(ratio)
+                print(json.dumps({
+                    "cloud": f"{kind}-{n}", "mode": mode,
+                    "n_exact": int(outs["exact"].shape[0]),
+                    "n_mode": int(outs[mode].shape[0]),
+                    "cd_mode_exact": cd_me, "cd_exact_cloud": cd_ec,
+                    "ratio": ratio,
+                    "t_exact_s": round(times["exact"], 2),
+                    "t_mode_s": round(times[mode], 2),
+                    "trained_weights": trained,
+                }), flush=True)
+    for mode, rs in ratios.items():
+        print(json.dumps({"summary": f"{mode}_vs_exact",
+                          "probe_factor": pf,
+                          "trained_weights": trained,
+                          "max_ratio": max(rs),
+                          "pass_1pct": max(rs) <= 0.01}), flush=True)
 
 
 if __name__ == "__main__":

@@ -252,3 +252,49 @@ def test_amp_keeps_bn_state_f32():
     assert bool(ok) and np.isfinite(float(loss))
     for leaf in jax.tree.leaves(s1):
         assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_checkpoint_throttles(tmp_path):
+    """save_optimizer=false drops the optimizer tree from the payload;
+    best_save_min_interval defers the best write to run end but the
+    written params are the BEST snapshot, not the final ones."""
+    import pickle
+
+    cfg = _tiny_cfg("fd")
+    cfg["training"].update({"max_iterations": 6, "validate_every": 2,
+                            "checkpoint_every": 0, "print_every": 100,
+                            "save_optimizer": False,
+                            "best_save_min_interval": 10 ** 9})
+    out = str(tmp_path / "throttle")
+    summary = run_training("fd", cfg, out, resume=False, seed=0)
+    assert os.path.exists(os.path.join(out, "model_best.pt"))
+    with open(os.path.join(out, "model_best.pt"), "rb") as f:
+        payload = pickle.load(f)
+    assert "optimizer" not in payload
+    assert "model" in payload and "model_state" in payload
+    assert np.isfinite(summary["loss_val_best"])
+
+
+def test_sc_training_smoke(tmp_path):
+    cfg = {
+        "data": {"device_synthetic": True, "steps_per_epoch": 2,
+                 "pointcloud_n": 64, "num_queries": 32,
+                 "num_gt_points": 256},
+        "model": {"k": 8, "feat_dims": 32, "m_neighbors": 4,
+                  "head_hidden": 16, "time_steps_enc": 2},
+        "training": {"batch_size": 2, "max_iterations": 3, "max_epochs": 10,
+                     "print_every": 1, "checkpoint_every": 2,
+                     "validate_every": 2, "backup_every": 0,
+                     "early_stopping": False, "lr": 1e-3,
+                     "warmup_steps": 0, "optimizer": "adamw",
+                     "weight_decay": 1e-4, "grad_clip": 1.0},
+        "loss": {"disp_weight": 100.0},
+        "monitoring": {"use_tensorboard": False},
+        "checkpoint": {"resume_file": "model_best.pt"},
+        "hardware": {"seed": 0},
+    }
+    out = str(tmp_path / "sc")
+    summary = run_training("sc", cfg, out, resume=False, seed=0)
+    assert summary["it"] == 3
+    assert np.isfinite(summary["final_loss"])
+    assert os.path.exists(os.path.join(out, "model_best.pt"))
