@@ -165,14 +165,20 @@ def sample_surface(shape: dict, key, n: int, iters: int = 10) -> jax.Array:
 
 def _queries(shape, key, n):
     """Off-surface queries q = p + t*n, |t| ~ U[0.003, 0.03], both sides.
-    Returns (q [n,3], toward-surface unit direction is recomputed later
-    from the dense sampling, not returned here)."""
+
+    Returns (q [n,3], true_normal [n,3], true_len [n]): the ANALYTIC
+    toward-surface unit direction (-sign * grad f at p) and offset |t|.
+    Training labels use the reference's noisy kNN estimators instead
+    (_pseudo_normal / 1-NN); the true values are carried for honest
+    quality EVALUATION (scripts/eval_synth_quality.py) — the estimator
+    noise would otherwise put a floor under reported angular error that
+    says nothing about the model."""
     kp, kt, ks = jax.random.split(key, 3)
     p = sample_surface(shape, kp, n)
     nrm = _sdf_grad(shape, p)
     t = jax.random.uniform(kt, (n, 1), minval=0.003, maxval=0.03)
     sign = jnp.where(jax.random.bernoulli(ks, 0.5, (n, 1)), 1.0, -1.0)
-    return p + nrm * t * sign
+    return p + nrm * t * sign, -nrm * sign, t[:, 0]
 
 
 def _pseudo_normal(dense, q, k: int = 10):
@@ -191,12 +197,12 @@ def _one_fn_sample(key, n_dense: int, n_cloud: int, n_patches: int, k: int,
     dense = sample_surface(shape, ks[1], n_dense)
     cloud = sample_surface(shape, ks[2], n_cloud)
     cloud = cloud + jitter * jax.random.normal(ks[3], cloud.shape)
-    q = _queries(shape, ks[4], n_patches)
+    q, tn, tl = _queries(shape, ks[4], n_patches)
     gt = _pseudo_normal(dense, q)
     d = ops.pairwise_sqdist(q, cloud)
     _, idx = ops.topk_small(-d, k)
     patch = jnp.take(cloud, idx, axis=0) - q[:, None, :]
-    return {"input": patch, "normal": gt}
+    return {"input": patch, "normal": gt, "true_normal": tn}
 
 
 def _one_fd_sample(key, n_dense: int, n_cloud: int, n_queries: int, k: int,
@@ -206,7 +212,7 @@ def _one_fd_sample(key, n_dense: int, n_cloud: int, n_queries: int, k: int,
     dense = sample_surface(shape, ks[1], n_dense)
     cloud = sample_surface(shape, ks[2], n_cloud)
     cloud = cloud + jitter * jax.random.normal(ks[3], cloud.shape)
-    q = _queries(shape, ks[4], n_queries)
+    q, tn, tl = _queries(shape, ks[4], n_queries)
     # label: 1-NN distance to the dense sampling (fd/datacore.py:124-129)
     dd = ops.pairwise_sqdist(q, dense)
     lens = jnp.sqrt(jnp.maximum(jnp.min(dd, axis=-1), 0.0))
@@ -219,7 +225,7 @@ def _one_fd_sample(key, n_dense: int, n_cloud: int, n_queries: int, k: int,
     nrm = _pseudo_normal(dense, q)
     rot = ops.rotation_to_target(nrm, jnp.array([1.0, 0.0, 0.0]))
     patch = ops.rotate_points(rot, patch)
-    return {"input": patch, "len": lens}
+    return {"input": patch, "len": lens, "true_len": tl}
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "n_dense", "n_cloud",
@@ -255,11 +261,12 @@ def _one_sc_sample(key, n_dense: int, n_cloud: int, n_queries: int,
     dense = sample_surface(shape, ks[1], n_dense)
     cloud = sample_surface(shape, ks[2], n_cloud)
     cloud = cloud + jitter * jax.random.normal(ks[3], cloud.shape)
-    q = _queries(shape, ks[4], n_queries)
+    q, tn, tl = _queries(shape, ks[4], n_queries)
     nrm = _pseudo_normal(dense, q)
     dd = ops.pairwise_sqdist(q, dense)
     lens = jnp.sqrt(jnp.maximum(jnp.min(dd, axis=-1), 0.0))
-    return {"cloud": cloud, "query": q, "normal": nrm, "len": lens}
+    return {"cloud": cloud, "query": q, "normal": nrm, "len": lens,
+            "true_normal": tn, "true_len": tl}
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "n_dense", "n_cloud",

@@ -140,10 +140,11 @@ def main():
     # 2. GT samplers (the R25/R26 scripts, small sampling budgets)
     run([sys.executable, "scripts/sample_mesh_fn.py", "--mesh-dir",
          os.path.join(mesh_dir, "synth"), "--out-dir",
-         os.path.join(work, "gt_fn"), "--n-surface", "20000"])
+         os.path.join(work, "gt_fn"), "--n-surface", "4000",
+         "--fine", "0.01"])
     run([sys.executable, "scripts/sample_mesh_rd.py", "--mesh-dir",
          os.path.join(mesh_dir, "synth"), "--out-dir",
-         os.path.join(work, "gt_rd"), "--n-samples", "2000"])
+         os.path.join(work, "gt_rd"), "--n-samples", "1000"])
 
     # 3. tiny fn training on the mesh dataset
     from sapcu_tpu.data.mesh import load_off, sample_surface

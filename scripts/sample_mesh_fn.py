@@ -42,7 +42,8 @@ def candidate_queries(points, coarse=0.05, fine=0.005, noise=0.002, rng=None):
     return centers + rng.normal(0, noise, centers.shape).astype(np.float32)
 
 
-def process_mesh(path, out_dir, n_surface, d_lo, d_hi, rng):
+def process_mesh(path, out_dir, n_surface, d_lo, d_hi, rng,
+                 coarse=0.05, fine=0.005):
     verts, faces = load_off(path)
     verts = verts - verts.mean(axis=0)
     scale = np.abs(verts).max()
@@ -50,7 +51,7 @@ def process_mesh(path, out_dir, n_surface, d_lo, d_hi, rng):
         verts = verts / (2 * scale)  # fit in [-0.5, 0.5]^3
     surf, _ = sample_surface(verts, faces, n_surface, rng)
 
-    queries = candidate_queries(surf, rng=rng)
+    queries = candidate_queries(surf, coarse=coarse, fine=fine, rng=rng)
     d, _ = knn_tiled(jnp.asarray(queries), jnp.asarray(surf), k=1, chunk=8192)
     d = np.sqrt(np.maximum(np.asarray(d)[:, 0], 0))
     keep = (d >= d_lo) & (d <= d_hi)
@@ -80,6 +81,11 @@ def main():
     p.add_argument("--d-lo", type=float, default=0.003)
     p.add_argument("--d-hi", type=float, default=0.03)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coarse", type=float, default=0.05,
+                   help="coarse voxel step (sample_mesh-fn.py: 0.05)")
+    p.add_argument("--fine", type=float, default=0.005,
+                   help="fine voxel step (reference: 0.005); coarser = "
+                        "fewer candidates, e.g. 0.01 for quick runs")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -88,7 +94,7 @@ def main():
                              recursive=True))
     for i, f in enumerate(files):
         n = process_mesh(f, args.out_dir, args.n_surface, args.d_lo,
-                         args.d_hi, rng)
+                         args.d_hi, rng, coarse=args.coarse, fine=args.fine)
         print(f"[{i + 1}/{len(files)}] {os.path.basename(f)}: {n} labels")
 
 
