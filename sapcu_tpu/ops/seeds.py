@@ -50,6 +50,11 @@ from sapcu_tpu.ops.pointops import (pairwise_sqdist, point_triangle_closest,
 
 BAND_LO = 0.0110
 BAND_HI = 0.0150
+# generate_seeds_device dispatches to the certified block-candidate path
+# for clouds larger than this (override: SAPCU_SEEDS_BLOCKED_MIN_N / the
+# SAPCU_SEEDS_PATH=full|blocked force switches). Set from on-chip
+# measurement — see scripts/bench_seeds.py and STATUS.md.
+BLOCKED_MIN_N = 4096
 
 
 def _on_tpu() -> bool:
@@ -311,10 +316,20 @@ def generate_seeds_device(points, cell: float = 0.004,
     the bucketed capacity) — the axon tunnel makes large device->host
     transfers prohibitively slow, so the seed set never leaves the chip.
     """
+    import os
+
     boxsize = int(round(1.0 / cell))
     pts = jnp.asarray(points, dtype=jnp.float32)
     mask = None
-    if _on_tpu() and pts.shape[0] > 4096:
+    # SAPCU_SEEDS_PATH: auto (default) | full | blocked — the blocked
+    # threshold is tunable for measurement (scripts/bench_seeds.py).
+    path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
+    blocked_min_n = int(os.environ.get("SAPCU_SEEDS_BLOCKED_MIN_N",
+                                       BLOCKED_MIN_N))
+    use_blocked = (path == "blocked"
+                   or (path == "auto" and _on_tpu()
+                       and pts.shape[0] > blocked_min_n))
+    if use_blocked:
         # Block-candidate path: selection/gather work scales with the 128
         # candidates instead of N, so it wins for large clouds. The
         # per-voxel certificate must hold on every voxel the BFS READS

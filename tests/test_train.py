@@ -298,3 +298,24 @@ def test_sc_training_smoke(tmp_path):
     assert summary["it"] == 3
     assert np.isfinite(summary["final_loss"])
     assert os.path.exists(os.path.join(out, "model_best.pt"))
+
+
+def test_load_model_weights_roundtrip(tmp_path):
+    """bench/eval CLI weight loading: swap a bundle's params for the ones
+    in <base>/<kind>/model_best.pt (train-loop layout)."""
+    from sapcu_tpu.utils.checkpoint import load_model_weights
+
+    params, state, cfg = models.init_sc_model(
+        jax.random.PRNGKey(0), k=8, feat_dims=32, m_neighbors=4,
+        head_hidden=16, time_steps=2)
+    trained = jax.tree.map(lambda x: x + 1.0, params)
+    d = tmp_path / "sc"
+    CheckpointIO(str(d), model=trained, model_state=state).save(
+        "model_best.pt", it=5)
+
+    fresh = models.init_sc_model(jax.random.PRNGKey(1), k=8, feat_dims=32,
+                                 m_neighbors=4, head_hidden=16, time_steps=2)
+    p2, s2, c2 = load_model_weights(fresh, str(tmp_path), "sc")
+    assert c2 == fresh[2]
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(trained)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
