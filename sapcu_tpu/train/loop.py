@@ -316,30 +316,38 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                 if validate_every > 0 and it % validate_every == 0:
                     flush_pending()
                     metrics = run_validation()
-                    metric_val = metrics["loss"]
-                    logger.add_scalars("val", metrics, it)
-                    logger.message(f"Validation at it={it}: " + ", ".join(
-                        f"{k}={v:.6f}" for k, v in metrics.items()))
-                    # reference gates BOTH the best checkpoint and the
-                    # patience reset on a min_delta improvement
-                    # (trainfn.py:391-401)
-                    if metric_val < metric_val_best - min_delta:
-                        metric_val_best = metric_val
+                    if not metrics:  # val set smaller than one batch
                         logger.message(
-                            f"New best model! Loss: {metric_val_best:.6f}")
-                        # device-side snapshot is free; only the WRITE
-                        # (a device->host pull) is throttled
-                        best_snapshot = (params, model_state)
-                        if it - last_best_save >= best_save_min_interval:
-                            save("model_best.pt")
-                            last_best_save = it
-                            best_snapshot = None
-                        best_it = it
-                    if early_stopping and it - best_it >= patience:
+                            "Validation skipped: no full validation batch "
+                            "(val set < batch_size with drop_last)")
+                        metrics = None
+                    if metrics:
+                        metric_val = metrics["loss"]
+                        logger.add_scalars("val", metrics, it)
                         logger.message(
-                            f"Early stopping at it={it} (patience {patience})")
-                        stop = True
-                        break
+                            f"Validation at it={it}: " + ", ".join(
+                                f"{k}={v:.6f}" for k, v in metrics.items()))
+                        # reference gates BOTH the best checkpoint and the
+                        # patience reset on a min_delta improvement
+                        # (trainfn.py:391-401)
+                        if metric_val < metric_val_best - min_delta:
+                            metric_val_best = metric_val
+                            logger.message(
+                                f"New best model! Loss: {metric_val_best:.6f}")
+                            # device-side snapshot is free; only the WRITE
+                            # (a device->host pull) is throttled
+                            best_snapshot = (params, model_state)
+                            if it - last_best_save >= best_save_min_interval:
+                                save("model_best.pt")
+                                last_best_save = it
+                                best_snapshot = None
+                            best_it = it
+                        if early_stopping and it - best_it >= patience:
+                            logger.message(
+                                f"Early stopping at it={it} "
+                                f"(patience {patience})")
+                            stop = True
+                            break
 
                 if it >= max_it:
                     stop = True

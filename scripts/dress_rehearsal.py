@@ -96,8 +96,8 @@ def build_meshes(mesh_dir, rng):
     cat = os.path.join(mesh_dir, "synth")
     os.makedirs(cat, exist_ok=True)
     specs = []
-    for i in range(6):
-        radii = rng.uniform(0.6, 1.0, 3)
+    for i in range(10):  # >= 10 meshes so the 90/10 val split holds a
+        radii = rng.uniform(0.6, 1.0, 3)  # full batch (loop drop_last)
         specs.append((f"ellipsoid_{i}", icosphere(2, radii)))
     specs.append(("torus_0", torus_mesh(1.0, 0.4)))
     specs.append(("torus_1", torus_mesh(1.0, 0.25)))
