@@ -31,6 +31,30 @@ def _all_finite(tree) -> jax.Array:
     return jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
 
 
+# Elementwise gradient saturation bound, applied before clipping/Adam.
+#
+# Why (round-3 finding): at init the SNN feedback loops collapse to
+# all-zero spike maps (structural — the reference has the same dynamics,
+# fn/snn_coder.py:319-335: t=1 spikers turn refractory, non-spikers get a
+# zero input), so ~20 chained BatchNorms normalise zero-variance inputs
+# and each multiplies backward signals by rsqrt(eps)~316. The product
+# overflows f32 -> optax.clip_by_global_norm(inf) zeroes EVERY update and
+# fn training silently reduces to weight decay. The reference hits the
+# identical wall: torch clip_grad_norm_ with an inf total norm also scales
+# all grads to zero (clip_coef = max_norm/inf), so its early fn steps were
+# no-ops too. Saturating elementwise keeps the update direction (sign
+# structure) of the exploding component, keeps the global norm finite so
+# norm clipping works, and is a no-op for healthy gradients; NaNs still
+# propagate (clip(nan)=nan) so the _all_finite skip-guard catches genuine
+# numerical failure. Documented divergence: strictly more functional than
+# the reference's zero-step in the same regime.
+_GRAD_SAT = 1e4
+
+
+def _saturate(grads):
+    return jax.tree.map(lambda g: jnp.clip(g, -_GRAD_SAT, _GRAD_SAT), grads)
+
+
 def _select(ok, new, old):
     return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
 
@@ -96,6 +120,7 @@ def make_fd_train_step(tx, cfg: dict, beta: float = 0.1,
         else:
             (loss, new_state), grads = grad_fn(
                 params, model_state, batch_input, batch_len, rng)
+        grads = _saturate(grads)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = apply_updates_grouped(params, updates, lr, lr)
@@ -184,6 +209,7 @@ def make_fn_train_step(tx, cfg: dict, consistency_weight: float = 0.15,
         else:
             (loss, (new_state, conf)), grads = grad_fn(
                 params, model_state, batch_input, batch_normal, rng)
+        grads = _saturate(grads)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = apply_updates_grouped(params, updates, lr, snn_lr)
@@ -220,6 +246,7 @@ def make_sc_train_step(tx, cfg: dict, use_amp: bool = False,
 
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        grads = _saturate(grads)
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = apply_updates_grouped(params, updates, lr, lr)
