@@ -74,10 +74,22 @@ def init_sc_model(key, k: int = 16, feat_dims: int = 256,
 
     h = head_hidden
     params["head"]["nbr"] = fnn.dense_init(next(ks), feat_dims + 4, h)
-    params["head"]["trunk1"] = fnn.dense_init(next(ks), 2 * h, h)
+    # trunk input: [max-pool H, weighted-mean H, 12 analytic-prior features]
+    params["head"]["trunk1"] = fnn.dense_init(next(ks), 2 * h + 12, h)
     params["head"]["trunk2"] = fnn.dense_init(next(ks), h, h)
-    params["head"]["normal"] = fnn.dense_init(next(ks), h, 3)
-    params["head"]["dist"] = fnn.dense_init(next(ks), h, 1)
+    # normal/dist heads are NEAR-ZERO-initialised residual corrections: at
+    # init the model outputs (to ~1e-2) the analytic PCA-plane prior
+    # (~14 deg mean / ~4 deg median vs the true SDF normal on the
+    # synthetic family — already better than a converged pooled-feature
+    # head), and training only learns the correction on ambiguous
+    # neighbourhoods. Not exactly zero: a zero output kernel would zero
+    # every upstream gradient at init.
+    params["head"]["normal"] = {
+        "kernel": 1e-3 * jax.random.normal(next(ks), (h, 3), jnp.float32),
+        "bias": jnp.zeros((3,), jnp.float32)}
+    params["head"]["dist"] = {
+        "kernel": 1e-3 * jax.random.normal(next(ks), (h, 1), jnp.float32),
+        "bias": jnp.zeros((1,), jnp.float32)}
     return params, state, cfg
 
 
@@ -134,16 +146,40 @@ def sc_head(params, feats: jax.Array, cloud: jax.Array,
     rel = nbr_p - queries[..., None, :]
     dist_ch = jnp.sqrt(jnp.maximum(
         jnp.sum(rel * rel, axis=-1, keepdims=True), 1e-12))
+
+    # Analytic local-plane priors (ops.local_plane), always in f32 even
+    # under AMP (3x3 eigenvectors in bf16 are junk). Neighbours arrive
+    # nearest-first: the 8-NN plane has the better MEAN error (less
+    # multi-surface contamination), the full-m plane the better median —
+    # the head sees both and corrects from the 8-NN base.
+    rel32 = rel.astype(jnp.float32)
+    m8 = min(8, m)
+    n8, d8 = ops.local_plane(rel32[..., :m8, :])
+    nm, dm = ops.local_plane(rel32)
+    cmean = jnp.mean(rel32, axis=-2)                   # [B, S, 3]
+    cnorm = jnp.sqrt(jnp.maximum(
+        jnp.sum(cmean * cmean, axis=-1, keepdims=True), 1e-12))
+    cdir = cmean / cnorm
+    geo = jnp.concatenate(
+        [n8, d8[..., None] * 32.0, nm, dm[..., None] * 32.0,
+         cdir, cnorm * 32.0], axis=-1)                 # [B, S, 12]
+
     g = jnp.concatenate([nbr_f, (rel * 32.0).astype(feats.dtype),
                          (dist_ch * 32.0).astype(feats.dtype)], axis=-1)
     g = fnn.gelu(fnn.dense(hp["nbr"], g))              # [B, S, m, H]
     pooled = jnp.concatenate(
-        [jnp.max(g, axis=-2), jnp.sum(g * w[..., None], axis=-2)], axis=-1)
+        [jnp.max(g, axis=-2), jnp.sum(g * w[..., None], axis=-2),
+         geo.astype(feats.dtype)], axis=-1)
     t = fnn.gelu(fnn.dense(hp["trunk1"], pooled))
     t = fnn.gelu(fnn.dense(hp["trunk2"], t))
-    normal = fnn.l2_normalize(fnn.dense(hp["normal"], t).astype(jnp.float32))
-    dist = fnn.softplus_beta(
-        fnn.dense(hp["dist"], t).astype(jnp.float32), beta=5.0)[..., 0]
+    delta_n = fnn.dense(hp["normal"], t).astype(jnp.float32)
+    normal = fnn.l2_normalize(n8 + delta_n)
+    # dist = softplus_beta(raw + softplus^-1(prior)): exactly the 8-NN
+    # plane distance at init (zero-init head), smooth + positive after
+    d8c = jnp.clip(d8, 1e-5, 1.0)
+    base = jnp.log(jnp.expm1(5.0 * d8c)) / 5.0
+    raw = fnn.dense(hp["dist"], t).astype(jnp.float32)[..., 0]
+    dist = fnn.softplus_beta(raw + base, beta=5.0)
     return normal, dist
 
 

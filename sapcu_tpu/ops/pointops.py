@@ -333,3 +333,75 @@ def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
     dists = dists.reshape(-1, k)[:q]
     idxs = idxs.reshape(-1, k)[:q]
     return dists, idxs
+
+
+def smallest_eigvec_sym3(a: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3.
+
+    a: [..., 3, 3] -> [..., 3]. Closed-form trigonometric eigenvalues
+    (Eberly) + cross-product eigenvector extraction — pure elementwise
+    math, so it vmaps/fuses on the VPU with no LAPACK custom call (TPU
+    jnp.linalg.eigh lowers to a slow CPU-style QR custom call). Replaces
+    the per-point sklearn/numpy eigh of the reference's PCA-normal tooling
+    (scripts/generate_gt_normals.py:33-51).
+
+    Degenerate inputs (isotropic or rank-0 neighbourhoods) return an
+    arbitrary but valid unit vector; callers that care orient/replace it.
+    """
+    af = a.astype(jnp.float32)
+    # scale-normalise for conditioning (eigenvectors are scale-invariant)
+    scale = jnp.maximum(jnp.abs(af).max(axis=(-2, -1), keepdims=True), 1e-30)
+    af = af / scale
+    q = jnp.trace(af, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    b = af - q * jnp.eye(3, dtype=af.dtype)
+    p2 = jnp.sum(b * b, axis=(-2, -1), keepdims=True) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detb = jnp.linalg.det(b / p)[..., None, None]
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # smallest eigenvalue: q + 2 p cos(phi + 2*pi/3)
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    m = af - lam * jnp.eye(3, dtype=af.dtype)
+    # rows of m span the complement of the eigenspace: the largest cross
+    # product of row pairs is the most numerically stable eigenvector
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    best = jnp.where(n01 >= n02,
+                     jnp.where(n01 >= n12, c01, c12),
+                     jnp.where(n02 >= n12, c02, c12))
+    bn = jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True), 0.0)
+    # isotropic fallback: all cross products vanish -> pick x-hat
+    fallback = jnp.zeros_like(best).at[..., 0].set(1.0)
+    ok = bn > 1e-24
+    v = jnp.where(ok, best, fallback)
+    return v / jnp.sqrt(jnp.maximum(
+        jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
+
+
+def local_plane(rel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Oriented local tangent plane from query-relative neighbours.
+
+    rel: [..., m, 3] neighbour offsets (neighbour - query) ->
+    (normal [..., 3] unit, toward the neighbourhood centroid — the
+    toward-surface orientation for off-surface queries, matching the
+    pseudo-normal label convention of sample_mesh-fn.py:95-173;
+    dist [...]: distance from the query to the PCA plane through the
+    neighbourhood centroid).
+
+    This is the analytic prior the sc model corrects: on the synthetic
+    family it alone reaches ~9-10 deg mean angular error vs the true SDF
+    normal (vs ~25 deg noise in the pseudo-normal training label).
+    """
+    c = jnp.mean(rel, axis=-2)                              # [..., 3]
+    centered = rel - c[..., None, :]
+    cov = jnp.einsum("...mi,...mj->...ij", centered, centered)
+    n = smallest_eigvec_sym3(cov)
+    sign = jnp.sign(jnp.sum(n * c, axis=-1, keepdims=True))
+    n = n * jnp.where(sign == 0, 1.0, sign)
+    dist = jnp.abs(jnp.sum(c * n, axis=-1))
+    return n, dist

@@ -176,3 +176,33 @@ def test_index_points_matmul_exact(rng):
     got2 = np.asarray(ops.index_points(
         jnp.asarray(pts).astype(jnp.bfloat16), jnp.asarray(idx)))
     np.testing.assert_array_equal(got, got2)
+
+
+def test_smallest_eigvec_sym3_matches_eigh():
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(200, 3, 3)).astype(np.float32)
+    a = (a + a.transpose(0, 2, 1)) / 2
+    # plane-like covariances (the local_plane regime)
+    pts = rng.normal(size=(100, 16, 3)).astype(np.float32)
+    pts[..., 2] *= 0.01
+    c = pts - pts.mean(1, keepdims=True)
+    a = np.concatenate([a, np.einsum("nmi,nmj->nij", c, c)])
+    v = np.asarray(ops.smallest_eigvec_sym3(jnp.asarray(a)))
+    w, vecs = np.linalg.eigh(a)
+    cos = np.abs(np.sum(v * vecs[..., 0], axis=-1))
+    assert cos.min() > 1 - 1e-4
+    # isotropic degenerate input: still a unit vector, no NaN
+    iso = np.asarray(ops.smallest_eigvec_sym3(jnp.eye(3)))
+    assert np.isfinite(iso).all() and abs(np.linalg.norm(iso) - 1) < 1e-5
+
+
+def test_local_plane_oriented_toward_centroid():
+    rng = np.random.default_rng(12)
+    # flat patch in z=0.01 plane, query at origin: normal ~ +/-z, oriented
+    # toward the patch (positive z), dist ~ 0.01
+    xy = rng.normal(size=(5, 16, 2)).astype(np.float32) * 0.05
+    rel = np.concatenate([xy, np.full((5, 16, 1), 0.01, np.float32)], -1)
+    n, d = ops.local_plane(jnp.asarray(rel))
+    n, d = np.asarray(n), np.asarray(d)
+    assert (n[:, 2] > 0.99).all()
+    np.testing.assert_allclose(d, 0.01, atol=1e-4)
