@@ -308,6 +308,119 @@ def _bucket(n: int, base: int = 8192) -> int:
     return cap
 
 
+# ------------------------------------------------- pruned-exact path
+#
+# The full path computes the exact 10-NN + 8-triangle distance for every
+# voxel of the 250^3 grid, but the BFS only ever READS a thin shell around
+# the surface (the <=band_hi closure plus one boundary layer) — typically
+# <20% of the grid. The pruned path:
+#   1. a cheap coarse pass (one matmul + min per tile, no top-k/gather)
+#      lower-bounds the 1-NN distance of every 2x2x2 voxel GROUP;
+#   2. exact distances are computed only for voxels of "active" groups
+#      (lower bound <= band_hi + slack); inactive voxels get +inf —
+#      which the BFS treats as "not expandable, not emitted";
+#   3. a refinement loop makes this EXACT regardless of slack: after the
+#      BFS, any voxel the traversal read (reach + its 6-neighbourhood)
+#      that was not computed exactly gets the exact kernel, and the BFS
+#      reruns — repeating until every read voxel is exact. Emission needs
+#      dist in [lo, hi] and dist(c) <= d_1NN(c) always (pt[9] is a vertex
+#      of every triangle), so pruned voxels with d_1NN > band_hi can
+#      never be wrongly dropped FROM the computed reach; voxels wrongly
+#      treated as walls are exactly what the refinement detects.
+# Measured on-chip (scripts/bench_seeds.py): the coarse pass is
+# matmul/HBM-bound (~tens of ms) while the exact kernel's 10 selection
+# rounds dominate — shrinking its voxel count by ~6x is a ~4-6x seed
+# speedup at PU1K sizes.
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize",))
+def _group_lower_bound(points: jax.Array, boxsize: int, cell: float
+                       ) -> jax.Array:
+    """Per-2x2x2-group lower bound on member-voxel 1-NN distance.
+
+    Returns [G, G, G] f32 (G = ceil(bs/2)): distance from the group
+    center to the nearest input point minus the group circumradius.
+    """
+    g = -(-boxsize // 2)
+    axis = (jnp.arange(g, dtype=jnp.float32) * 2.0 + 1.0) * cell - 0.5
+    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    centers = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    r = float(np.sqrt(3.0)) * cell  # half the group diagonal
+
+    def one(tile):
+        d = pairwise_sqdist(tile, points)
+        return jnp.sqrt(jnp.maximum(jnp.min(d, axis=-1), 0.0))
+
+    chunk = 16384
+    pad = (-centers.shape[0]) % chunk
+    cp = jnp.pad(centers, ((0, pad), (0, 0)))
+    d1 = jax.lax.map(one, cp.reshape(-1, chunk, 3)).reshape(-1)
+    d1 = d1[:centers.shape[0]]
+    return (d1 - r).reshape(g, g, g)
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize", "cap", "chunk"))
+def _masked_exact_dist(points: jax.Array, active: jax.Array, boxsize: int,
+                       cell: float, cap: int, chunk: int) -> jax.Array:
+    """Exact surface distance on active voxels, +inf elsewhere.
+
+    active: [bs, bs, bs] bool; cap: static compaction capacity
+    (power-of-two bucket >= active count).
+    """
+    flat = active.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    z = idx % boxsize
+    y = (idx // boxsize) % boxsize
+    x = idx // (boxsize * boxsize)
+    centers = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) \
+        * cell + 0.5 * cell - 0.5
+    d = surface_distance(centers, points, chunk=chunk)
+    grid = jnp.full((boxsize * boxsize * boxsize,), jnp.inf, jnp.float32)
+    # pad rows all hold voxel idx 0; later writes win, but idx 0's OWN
+    # distance is correct regardless (same center, same kernel)
+    grid = grid.at[idx].set(d)
+    return grid.reshape(boxsize, boxsize, boxsize)
+
+
+def _pruned_exact_mask(pts: jax.Array, boxsize: int, cell: float,
+                       band_lo: float, band_hi: float, chunk: int,
+                       slack_cells: float = 5.0):
+    """Seed mask via coarse pruning + exact shell + refinement to parity."""
+    lb = _group_lower_bound(pts, boxsize, cell)
+    thresh = band_hi + slack_cells * cell
+    active_g = lb <= thresh                       # [G, G, G]
+    # input voxels are BFS sources: always active
+    vox = jnp.clip(jnp.floor((pts + 0.5) / cell).astype(jnp.int32),
+                   0, boxsize - 1)
+    gsize = active_g.shape[0]
+    src = jnp.zeros((gsize, gsize, gsize), bool)
+    src = src.at[vox[:, 0] // 2, vox[:, 1] // 2, vox[:, 2] // 2].set(True)
+    active_g = active_g | src
+    # expand to voxels ([G,G,G] -> [bs,bs,bs])
+    act = jnp.repeat(jnp.repeat(jnp.repeat(
+        active_g, 2, axis=0), 2, axis=1), 2, axis=2)
+    act = act[:boxsize, :boxsize, :boxsize]
+
+    computed = act
+    n_act = int(jnp.sum(act))
+    cap = _bucket(max(n_act, 1), base=65536)
+    dist = _masked_exact_dist(pts, act, boxsize, cell, cap, chunk)
+    for _ in range(8):  # refinement: converges in 0-2 rounds in practice
+        mask, reach = _mask_reach_from_dist(pts, dist, boxsize, cell,
+                                            band_lo, band_hi)
+        need = _dilate6(reach)
+        missing = need & ~computed
+        n_miss = int(jnp.sum(missing))
+        if n_miss == 0:
+            return mask
+        mcap = _bucket(n_miss, base=4096)
+        dmiss = _masked_exact_dist(pts, missing, boxsize, cell, mcap, chunk)
+        dist = jnp.where(missing, dmiss, dist)
+        computed = computed | missing
+    # safety net: fall back to the dense grid (never hit in testing)
+    return seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+
+
 def generate_seeds_device(points, cell: float = 0.004,
                           band_lo: float = BAND_LO, band_hi: float = BAND_HI,
                           chunk: int = 8192):
@@ -342,15 +455,21 @@ def generate_seeds_device(points, cell: float = 0.004,
                                          band_lo, band_hi)
         if bool(jnp.all(okg | ~reach)):
             mask = m
+    if mask is None and path in ("auto", "pruned"):
+        # Default: pruned-exact (coarse lower-bound pass + exact kernel on
+        # the active shell + refinement to full parity — see the block
+        # comment above _group_lower_bound). Same result as the dense
+        # grid, ~4-6x faster at PU1K sizes.
+        mask = _pruned_exact_mask(pts, boxsize, cell, band_lo, band_hi,
+                                  chunk)
     if mask is None:
-        # The tiled XLA path is both exact (f32 end-to-end, the same math
-        # the reference-ELF parity test pins on CPU) and, at PU1K cloud
-        # sizes, faster on TPU than the Pallas kernel it replaces (1.4s vs
+        # The tiled XLA dense-grid path (SAPCU_SEEDS_PATH=full): exact f32
+        # end-to-end, the same math the reference-ELF parity test pins on
+        # CPU. Faster on TPU than the Pallas kernel it replaces (1.4s vs
         # 2.5s for the 250^3 grid): Mosaic lowers f32 dots through bf16
         # MXU passes whose ~1e-3 distance error is a quarter of the
         # emission band. The Pallas kernel remains opt-in
         # (SAPCU_PALLAS_SEEDS=1) for experimentation.
-        import os
         use_pallas = (_on_tpu()
                       and os.environ.get("SAPCU_PALLAS_SEEDS") == "1")
         mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk,

@@ -8,6 +8,7 @@ AND the BFS reachability semantics end to end.
 import os
 import subprocess
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -74,3 +75,23 @@ def test_bfs_blocks_unreachable_band():
     if len(zs):
         # all emitted voxels hug plane A (z = -0.3 -> index 10)
         assert zs.min() >= 7 and zs.max() <= 13
+
+
+def test_pruned_exact_equals_dense_grid():
+    """The pruned path (coarse prune + refinement) must reproduce the
+    dense-grid mask bit-for-bit — including with zero slack, where the
+    refinement loop has to grow the computed set itself."""
+    from sapcu_tpu.ops import seeds as sm
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(256, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = jnp.asarray(v * 0.35)
+    boxsize = 50
+    cell = 1.0 / boxsize
+    dense = np.asarray(sm.seed_mask(pts, boxsize, cell, chunk=4096))
+    for slack in (5.0, 0.0):
+        pruned = np.asarray(sm._pruned_exact_mask(
+            pts, boxsize, cell, sm.BAND_LO, sm.BAND_HI, 4096,
+            slack_cells=slack))
+        assert (pruned == dense).all(), f"slack={slack}"
