@@ -63,13 +63,21 @@ def _init_block(key, d_points, d_model):
 
 def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
                   time_steps_enc: int = 6, num_heads: int = 8,
-                  dropout: float = 0.1, decoder_dropout: float = 0.1
+                  dropout: float = 0.1, decoder_dropout: float = 0.1,
+                  snn_mode: str = "feedback"
                   ) -> tuple[Pytree, Pytree, dict]:
-    """Build (params, state, config) for the fn model."""
+    """Build (params, state, config) for the fn model.
+
+    snn_mode: "feedback" = reference parity (spike output of step t is the
+    input of step t+1, fn/snn_coder.py:319-335 — structurally degenerate,
+    see snn/neuron.py::multi_step); "rate" = constant-input rate coding
+    (the fd-encoder wiring that actually trains). The mode is a model
+    hyperparameter: checkpoints trained in one mode must be served in it.
+    """
     cfg = dict(k_values=tuple(k_values), emb_dims=emb_dims,
                time_steps_enc=time_steps_enc, num_heads=num_heads,
                dropout=dropout, decoder_dropout=decoder_dropout,
-               d_models=(128, 256, 512))
+               d_models=(128, 256, 512), snn_mode=snn_mode)
     ks = iter(jax.random.split(key, 16))
     params: dict = {"enc": {}, "dec": {}}
     state: dict = {"enc": {}, "dec": {}}
@@ -165,12 +173,20 @@ def _fused_branch(p, s, xyz, q, kf, v, idx, num_heads):
     return res, new_s
 
 
+def _snn_kwargs(snn_mode: str) -> dict:
+    """multi_step wiring for the model's snn_mode hyperparameter."""
+    if snn_mode == "rate":
+        return {"input_mode": "constant", "out": "mean"}
+    return {}
+
+
 def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
-                 remat=False):
+                 remat=False, snn_mode="feedback"):
     """One MultiHeadSNNTransformerBlock (fn/snn_coder.py:294-396).
 
     xyz: [B, N, 3]; features: [B, N, 64] -> ([B, N, 64], new_state).
     """
+    sk = _snn_kwargs(snn_mode)
     b, n, _ = xyz.shape
     k_actual = min(k, n)
     d_model = p["fc1"]["fc"]["kernel"].shape[1]
@@ -183,19 +199,19 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
     x, new_s["fc1_bn"] = _apply_fc_bn(p["fc1"], s["fc1_bn"], features,
                                       training=training)
     x = snn.multi_step(p["snn1"], x, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
 
     q, new_s["w_qs_bn"] = _apply_fc_bn(p["w_qs"], s["w_qs_bn"], x, training=training)
     q = snn.multi_step(p["snn_q"], q, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
     kf, new_s["w_ks_bn"] = _apply_fc_bn(p["w_ks"], s["w_ks_bn"], x, training=training)
     kf = snn.multi_step(p["snn_k"], kf, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
     v, new_s["w_vs_bn"] = _apply_fc_bn(p["w_vs"], s["w_vs_bn"], x, training=training)
     v = snn.multi_step(p["snn_v"], v, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
 
-    if not training:
+    if not training and snn_mode == "feedback":
         fused = _fused_branch(p, s, xyz, q, kf, v, idx, num_heads)
         if fused is not None:
             res, new_s2 = fused
@@ -235,17 +251,17 @@ def _block_apply(p, s, xyz, features, k, num_heads, dropout, *, training, rng,
         pos_enc, new_s["fc_delta_bn"] = _apply_fc_bn(
             p["fc_delta"], s["fc_delta_bn"], pos_diff, training=training)
     pos_enc = snn.multi_step(p["snn_delta"], pos_enc, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
     pos_enc, new_s["fc_delta2_bn"] = _apply_fc_bn(p["fc_delta2"], s["fc_delta2_bn"],
                                                   pos_enc, training=training)
     pos_enc = snn.multi_step(p["snn_delta2"], pos_enc, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
 
     attn_in = q[:, :, None, :] - k_g + pos_enc                 # [B, N, k, C]
     attn, new_s["fc_gamma_bn"] = _apply_fc_bn(p["fc_gamma"], s["fc_gamma_bn"],
                                               attn_in, training=training)
     attn = snn.multi_step(p["snn_gamma"], attn, _BLOCK_T, training=training,
-                       remat=remat)
+                       remat=remat, **sk)
     attn, new_s["fc_gamma2_bn"] = _apply_fc_bn(p["fc_gamma2"], s["fc_gamma2_bn"],
                                                attn, training=training)
 
@@ -274,8 +290,9 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
 
     feats, new_s["conv1_bn"] = _apply_fc_bn(enc_p["conv1"], enc_s["conv1_bn"],
                                             x, training=training)
+    sk = _snn_kwargs(cfg.get("snn_mode", "feedback"))
     feats = snn.multi_step(enc_p["snn_init"], feats, t, training=training,
-                           remat=cfg.get("remat", True))
+                           remat=cfg.get("remat", True), **sk)
 
     rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
     block_feats, block_states = [], []
@@ -289,7 +306,8 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
         def block_fn(bp_, bs_, xyz_, cur_, _k=k, _r=r):
             return _block_apply(bp_, bs_, xyz_, cur_, _k, cfg["num_heads"],
                                 cfg["dropout"], training=training, rng=_r,
-                                remat=remat)
+                                remat=remat,
+                                snn_mode=cfg.get("snn_mode", "feedback"))
         if remat:
             block_fn = jax.checkpoint(block_fn)
         cur, nbs = block_fn(bp, bs, x, cur)
@@ -302,7 +320,7 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
                                              enc_s["conv_final_bn"], ms,
                                              training=training)
     g = snn.multi_step(enc_p["snn_final"], g, t, training=training,
-                       remat=cfg.get("remat", True))
+                       remat=cfg.get("remat", True), **sk)
     new_s["spike_rates"] = jax.lax.stop_gradient(jnp.stack(
         [jnp.mean(feats)] + [jnp.mean(f) for f in block_feats]
         + [jnp.mean(g)]).astype(jnp.float32))

@@ -130,13 +130,31 @@ def eif_step(params: dict, state: NeuronState, x: jax.Array, *,
 
 def multi_step(params: dict, x: jax.Array, time_steps: int, *,
                training: bool, grad_width: float = 10.0,
-               kind: str = "lif", remat: bool = False) -> jax.Array:
+               kind: str = "lif", remat: bool = False,
+               input_mode: str = "feedback",
+               out: str = "last") -> jax.Array:
     """fn-style iteration: ``for t in T: x, state = cell(x, state)``.
 
-    The spike output of step t is the INPUT of step t+1 and state threads
-    with gradients (fn/snn_coder.py:319-335). Returns the final spike map.
+    input_mode="feedback" (default, reference parity): the spike output of
+    step t is the INPUT of step t+1 and state threads with gradients
+    (fn/snn_coder.py:319-335). NOTE this wiring is structurally degenerate:
+    a neuron that fires is refractory-gated for the rest of the loop
+    (refractory decays geometrically and the gate is ``r <= 0``), and a
+    neuron that never fires receives its own zero spike as input — so for
+    T >= 3 the final spike map is ~all-zero regardless of input. The
+    reference's own fn training plateaus at the sign-symmetric acos loss
+    value of pi/2 (Observations.md:13-15 "final validation loss
+    1.577-1.612") for exactly this reason.
 
-    Inference on TPU dispatches to the fused Pallas multi-step kernel
+    input_mode="constant" (rate coding, the fd-encoder wiring that DOES
+    train, fd/snn_coder.py:408-474): every step receives the ORIGINAL
+    input x; only neuron state evolves. Combine with out="mean" (mean
+    spike map over T, standard rate decoding) for a trainable fn encoder.
+
+    out: "last" returns the final spike map (reference), "mean" the mean
+    over all T steps.
+
+    Inference on TPU can dispatch to the fused Pallas multi-step kernel
     (ops/pallas_kernels.lif_multistep_pallas): the whole T-step loop runs
     in VMEM per tile instead of a scan carry round-tripping HBM. Training
     keeps the XLA scan (the surrogate-gradient custom VJP differentiates
@@ -145,9 +163,10 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
     # Opt-in (SAPCU_PALLAS_SNN=1): the fused kernel is numerically exact
     # but Mosaic compile time for the unrolled T-step body is minutes per
     # (shape, T) variant, so the default stays on the XLA scan which
-    # fuses the elementwise body anyway.
+    # fuses the elementwise body anyway. Feedback wiring only.
     import os
-    if not training and os.environ.get("SAPCU_PALLAS_SNN") == "1":
+    if (not training and input_mode == "feedback" and out == "last"
+            and os.environ.get("SAPCU_PALLAS_SNN") == "1"):
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
@@ -160,31 +179,39 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
             return out.reshape(x.shape)
 
     step = lif_step if kind == "lif" else eif_step
+    feedback = input_mode == "feedback"
 
     if not training:
-        # Eval: unroll the T-step loop in Python. Only the FINAL spike map
-        # is used, so the unrolled chain is one pure elementwise DAG that
-        # XLA fuses into a single pass (read x once, write spikes once) —
-        # the lax.scan alternative round-trips the (x, V, th, r) carry
-        # through HBM ~8 tensor passes per step, which dominates inference
-        # on the [B, N, k, d] branch tensors (HBM-bound, not FLOP-bound).
+        # Eval: unroll the T-step loop in Python. The unrolled chain is
+        # one pure elementwise DAG that XLA fuses into a single pass
+        # (read x once, write spikes once) — the lax.scan alternative
+        # round-trips the (x, V, th, r) carry through HBM ~8 tensor
+        # passes per step, which dominates inference on the [B, N, k, d]
+        # branch tensors (HBM-bound, not FLOP-bound).
         st = init_state(params, x)
-        out = x
+        cur, acc = x, 0.0
         for _ in range(time_steps):
-            out, st = step(params, st, out, training=False,
-                           grad_width=grad_width)
-        return out
+            s_, st = step(params, st, cur, training=False,
+                          grad_width=grad_width)
+            if feedback:
+                cur = s_
+            acc = acc + s_
+        return acc / time_steps if out == "mean" else s_
+
+    mean = out == "mean"
 
     def body(carry, _):
-        xc, st = carry
-        s, st = step(params, st, xc, training=training, grad_width=grad_width)
-        return (s, st), None
+        xc, acc, st = carry
+        s, st = step(params, st, xc if feedback else x, training=training,
+                     grad_width=grad_width)
+        return (s if feedback else xc, acc + s if mean else s, st), None
 
     if remat:
         # recompute each step's elementwise chain in backward instead of
         # storing T per-step activation maps (fn blocks at training batch
         # sizes otherwise exceed a 16G chip)
         body = jax.checkpoint(body)
-    (out, _), _ = jax.lax.scan(body, (x, init_state(params, x)), None,
-                               length=time_steps)
-    return out
+    (_, acc, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), init_state(params, x)), None,
+        length=time_steps)
+    return acc / time_steps if mean else acc

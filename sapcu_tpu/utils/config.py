@@ -120,6 +120,7 @@ def get_model(cfg: dict, kind: str, seed: int | None = None):
             num_heads=mc.get("num_heads", 4),
             dropout=mc.get("dropout", 0.1),
             decoder_dropout=mc.get("decoder_dropout", 0.1),
+            snn_mode=mc.get("snn_mode", "feedback"),
         )
     if kind == "sc":
         return models.init_sc_model(

@@ -210,3 +210,63 @@ def test_activations_match_torch(rng):
     np.testing.assert_allclose(
         np.asarray(fnn.l2_normalize(jnp.asarray(x.reshape(10, 10)))),
         torch.nn.functional.normalize(torch.tensor(x.reshape(10, 10)), dim=-1).numpy(), atol=1e-6)
+
+
+def test_rate_mode_multi_step(rng):
+    """input_mode="constant" + out="mean": neurons integrate the SAME input
+    every step (fd-encoder wiring, fd/snn_coder.py:408-474) and the mean
+    spike map is a genuine rate code — unlike the reference fn's feedback
+    wiring, whose final spike map is ~all-zero for T >= 3 (the structural
+    reason the reference fn plateaus at the pi/2 acos loss,
+    Observations.md:13-15)."""
+    c = 16
+    params = snn.lif_init(c)
+    x = jnp.asarray(rng.normal(size=(32, c)).astype(np.float32))
+
+    rate = snn.multi_step(params, x, 6, training=True,
+                          input_mode="constant", out="mean")
+    # manual loop
+    st = snn.init_state(params, x)
+    acc = jnp.zeros_like(x)
+    for _ in range(6):
+        s, st = snn.lif_step(params, st, x, training=True)
+        acc = acc + s
+    np.testing.assert_allclose(np.asarray(rate), np.asarray(acc) / 6,
+                               atol=1e-6)
+    # alive: a strong positive input fires within T steps
+    assert float(jnp.mean(rate)) > 0.01
+    # degenerate reference wiring: final spike map is all-zero at T=6
+    dead = snn.multi_step(params, x, 6, training=True)
+    assert float(jnp.max(jnp.abs(dead))) == 0.0
+    # eval path agrees with the scan path on the hard forward semantics
+    rate_eval = snn.multi_step(params, x, 6, training=False,
+                               input_mode="constant", out="mean")
+    assert rate_eval.shape == x.shape
+
+
+def test_fn_rate_mode_trains():
+    """snn_mode="rate" fn: spikes fire, outputs vary across patches, and
+    encoder gradients are finite (the feedback default produces exactly-zero
+    spike maps and inf grad norms — the round-3 diagnosis)."""
+    from sapcu_tpu.models import fn_model as M
+
+    key = jax.random.PRNGKey(0)
+    p, s, cfg = M.init_fn_model(key, k_values=(6, 5, 4), emb_dims=32,
+                                time_steps_enc=4, num_heads=2,
+                                snn_mode="rate")
+    cfg = dict(cfg, remat=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 12, 3)) * 0.05
+    gt = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
+
+    def loss_fn(p):
+        out, ns = M.fn_apply(p, s, x, cfg, training=True,
+                             rng=jax.random.PRNGKey(3))
+        l, _ = M.fn_loss(out, gt)
+        return l, ns
+
+    (loss, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    rates = np.asarray(ns["enc"]["spike_rates"])
+    assert rates[0] > 0.01 and rates[-1] > 0.01      # snn_init / snn_final fire
+    gn = float(jnp.sqrt(sum(jnp.sum(v ** 2)
+                            for v in jax.tree.leaves(g["enc"]))))
+    assert np.isfinite(gn) and gn > 0
