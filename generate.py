@@ -51,9 +51,14 @@ def load_models(args):
         for name, bundle, out_dir in loads:
             ckpt = CheckpointIO(out_dir, model=bundle[0],
                                 model_state=bundle[1])
-            ckpt.load(args.checkpoint)
-            out[name] = (ckpt.trees["model"], ckpt.trees["model_state"],
-                         bundle[2])
+            scalars = ckpt.load(args.checkpoint)
+            # Checkpoints are self-describing: serve with the architecture
+            # hyperparameters they were trained with (e.g. snn_mode).
+            mcfg = bundle[2]
+            stored = scalars.get("model_cfg")
+            if isinstance(stored, dict):
+                mcfg = {**mcfg, **stored}
+            out[name] = (ckpt.trees["model"], ckpt.trees["model_state"], mcfg)
             print(f"Loaded {name} checkpoint from {out_dir}/{args.checkpoint}")
         fn_bundle, fd_bundle = out["fn"], out["fd"]
         sc_bundle = out.get("sc", sc_bundle)

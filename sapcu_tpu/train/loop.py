@@ -191,8 +191,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             ckpt.trees.pop("optimizer", None)
             ckpt.register(model=p if p is not None else params,
                           model_state=ms if ms is not None else model_state)
+        # model_cfg makes the checkpoint self-describing: serving MUST use
+        # the architecture hyperparameters it was trained with (e.g. a
+        # snn_mode=rate fn checkpoint served in feedback mode silently
+        # degenerates — the param pytrees are identical).
         ckpt.save(name, epoch_it=epoch_it, it=it,
-                  loss_val_best=metric_val_best)
+                  loss_val_best=metric_val_best,
+                  model_cfg={k: v for k, v in model_cfg.items()})
 
     def run_validation() -> dict:
         nonlocal params, model_state

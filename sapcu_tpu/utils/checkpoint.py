@@ -95,5 +95,11 @@ def load_model_weights(bundle, base_dir: str, kind: str,
     params, state, cfg = bundle
     ckpt = CheckpointIO(os.path.join(base_dir, kind),
                         model=params, model_state=state)
-    ckpt.load(filename)
+    scalars = ckpt.load(filename)
+    # Checkpoints written by the train loop are self-describing: honor the
+    # stored architecture hyperparameters (e.g. snn_mode) over the ones the
+    # caller's config happened to build with.
+    stored = scalars.get("model_cfg")
+    if isinstance(stored, dict):
+        cfg = {**cfg, **stored}
     return ckpt.trees["model"], ckpt.trees["model_state"], cfg

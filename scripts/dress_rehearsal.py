@@ -159,6 +159,7 @@ model:
   k_values: [6, 6, 4]
   emb_dims: 32
   time_steps_enc: 2
+  snn_mode: rate   # trainable wiring (see configs/fn_synth.yaml NOTE)
 training:
   use_amp: false
   validate_every: {args.iters}

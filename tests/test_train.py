@@ -362,3 +362,24 @@ def test_load_model_weights_roundtrip(tmp_path):
     assert c2 == fresh[2]
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(trained)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_is_self_describing(tmp_path):
+    """The train loop stamps model_cfg into the payload and
+    load_model_weights serves with the STORED architecture hyperparameters
+    (a snn_mode=rate fn checkpoint served in feedback mode silently
+    degenerates — the param pytrees are identical)."""
+    from sapcu_tpu.utils.checkpoint import load_model_weights
+
+    params, state, cfg = models.init_fn_model(
+        jax.random.PRNGKey(0), k_values=(6, 5, 4), emb_dims=32,
+        time_steps_enc=2, num_heads=2, snn_mode="rate")
+    d = tmp_path / "fn"
+    CheckpointIO(str(d), model=params, model_state=state).save(
+        "model_best.pt", it=5, model_cfg=dict(cfg))
+
+    fresh = models.init_fn_model(jax.random.PRNGKey(1), k_values=(6, 5, 4),
+                                 emb_dims=32, time_steps_enc=2, num_heads=2)
+    assert fresh[2]["snn_mode"] == "feedback"
+    _, _, served_cfg = load_model_weights(fresh, str(tmp_path), "fn")
+    assert served_cfg["snn_mode"] == "rate"
