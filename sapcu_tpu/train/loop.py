@@ -69,9 +69,15 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                               k=int(d_cfg.get("patch_k", 12)),
                               n_cloud=int(d_cfg.get("pointcloud_n", 512)))
         elif kind == "fd":
+            # patch_k defaults to the model graph k (reference parity:
+            # fd/datacore.py:131-136 self-kNN patches with k=model.k);
+            # set data.patch_k=100 to train at the SERVING patch size
+            # (generation.py feeds k_neighbors=100 patches).
             gen_kwargs = dict(
-                n_queries=int(d_cfg.get("num_input_points", 256)),
-                k=int(cfg.get("model", {}).get("k", 32)),
+                n_queries=int(d_cfg.get("num_queries",
+                                        d_cfg.get("num_input_points", 256))),
+                k=int(d_cfg.get("patch_k",
+                                cfg.get("model", {}).get("k", 32))),
                 n_cloud=int(d_cfg.get("num_input_points", 256)))
         else:  # sc
             gen_kwargs = dict(n_cloud=int(d_cfg.get("pointcloud_n", 1024)),
