@@ -174,9 +174,19 @@ def _fused_branch(p, s, xyz, q, kf, v, idx, num_heads):
 
 
 def _snn_kwargs(snn_mode: str) -> dict:
-    """multi_step wiring for the model's snn_mode hyperparameter."""
+    """multi_step wiring for the model's snn_mode hyperparameter.
+
+    Rate mode also evaluates with HARD spikes (eval_spikes="hard"):
+    the reference's soft-mixture eval forward saturates at 0.5 for
+    firing neurons, so every eval activation runs at half the scale the
+    BN running statistics saw in training — through fn's ~18 stacked SNN
+    layers the eval predictions decorrelate completely (flagship
+    measurement: train loss converges while soft-eval val angular error
+    stays at the ~90 deg plateau; hard-eval tracks training). The parity
+    default (feedback mode) keeps the reference quirk."""
     if snn_mode == "rate":
-        return {"input_mode": "constant", "out": "mean"}
+        return {"input_mode": "constant", "out": "mean",
+                "eval_spikes": "hard"}
     return {}
 
 

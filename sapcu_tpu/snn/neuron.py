@@ -95,13 +95,23 @@ def _clamped(params: dict) -> dict:
 
 
 def lif_step(params: dict, state: NeuronState, x: jax.Array, *,
-             training: bool, grad_width: float = 10.0
+             training: bool, grad_width: float = 10.0,
+             hard: bool | None = None
              ) -> tuple[jax.Array, NeuronState]:
+    """``hard`` overrides the spike forward kind: None = reference
+    train/eval asymmetry (hard STE in training, soft mixture in eval);
+    True forces hard Heaviside spikes in eval too. The soft mixture
+    saturates at 0.5 for firing neurons (gaussian term -> 0, sigmoid -> 1,
+    both halved), so eval activations run at HALF the scale the BN running
+    statistics were collected at and the soft values feed the reset /
+    refractory dynamics — deep stacks (fn's 3x6 SNN layers) decorrelate
+    entirely under it. Rate-mode models opt into hard=True at eval."""
     p = _clamped(params)
     m, th, r = state
     x = x * (r <= 0).astype(x.dtype)
     m = m * p["membrane_decay"] * (1.0 - r) + x
-    s = spike(m - th, training=training, grad_width=grad_width)
+    s = spike(m - th, training=training if hard is None else hard,
+              grad_width=grad_width)
     m = m * (1.0 - s)
     r = r * p["refractory_decay"] + s
     th = th + p["threshold_adapt"] * s
@@ -110,17 +120,19 @@ def lif_step(params: dict, state: NeuronState, x: jax.Array, *,
 
 
 def eif_step(params: dict, state: NeuronState, x: jax.Array, *,
-             training: bool, grad_width: float = 10.0
+             training: bool, grad_width: float = 10.0,
+             hard: bool | None = None
              ) -> tuple[jax.Array, NeuronState]:
     """EIF: adds delta_T * exp((V_prev - theta_rh)/delta_T) computed from the
-    PRE-update membrane (fd/snn_coder.py:244-252)."""
+    PRE-update membrane (fd/snn_coder.py:244-252). ``hard`` as in lif_step."""
     p = _clamped(params)
     m, th, r = state
     exp_arg = jnp.clip((m - p["theta_rh"]) / (p["delta_t"] + 1e-6), -5.0, 5.0)
     exp_term = p["delta_t"] * jnp.exp(exp_arg)
     x = x * (r <= 0).astype(x.dtype)
     m = m * p["membrane_decay"] * (1.0 - r) + x + exp_term
-    s = spike(m - th, training=training, grad_width=grad_width)
+    s = spike(m - th, training=training if hard is None else hard,
+              grad_width=grad_width)
     m = m * (1.0 - s)
     r = r * p["refractory_decay"] + s
     th = th + p["threshold_adapt"] * s
@@ -132,7 +144,8 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
                training: bool, grad_width: float = 10.0,
                kind: str = "lif", remat: bool = False,
                input_mode: str = "feedback",
-               out: str = "last") -> jax.Array:
+               out: str = "last",
+               eval_spikes: str = "soft") -> jax.Array:
     """fn-style iteration: ``for t in T: x, state = cell(x, state)``.
 
     input_mode="feedback" (default, reference parity): the spike output of
@@ -153,6 +166,16 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
 
     out: "last" returns the final spike map (reference), "mean" the mean
     over all T steps.
+
+    eval_spikes: "soft" (default, reference parity) keeps the reference's
+    train/eval asymmetry — eval forwards emit the soft surrogate mixture,
+    which saturates at 0.5 for firing neurons and evolves different
+    reset/refractory dynamics than the hard spikes the BN running
+    statistics were collected under. "hard" uses Heaviside spikes at eval
+    too (train/eval-consistent, deterministic); rate-mode models use it —
+    measured on the flagship fn: soft-eval val angular error stays at the
+    ~90 deg uncorrelated plateau while train-mode loss converges, hard
+    eval tracks training.
 
     Inference on TPU can dispatch to the fused Pallas multi-step kernel
     (ops/pallas_kernels.lif_multistep_pallas): the whole T-step loop runs
@@ -188,11 +211,12 @@ def multi_step(params: dict, x: jax.Array, time_steps: int, *,
         # round-trips the (x, V, th, r) carry through HBM ~8 tensor
         # passes per step, which dominates inference on the [B, N, k, d]
         # branch tensors (HBM-bound, not FLOP-bound).
+        hard = True if eval_spikes == "hard" else None
         st = init_state(params, x)
         cur, acc = x, 0.0
         for _ in range(time_steps):
             s_, st = step(params, st, cur, training=False,
-                          grad_width=grad_width)
+                          grad_width=grad_width, hard=hard)
             if feedback:
                 cur = s_
             acc = acc + s_

@@ -244,6 +244,32 @@ def test_rate_mode_multi_step(rng):
     assert rate_eval.shape == x.shape
 
 
+def test_eval_spikes_hard_matches_training_forward(rng):
+    """eval_spikes="hard": the eval forward is EXACTLY the training
+    forward (hard Heaviside spikes, same reset/refractory trajectory) —
+    the rate-mode train/eval consistency fix. The default soft eval
+    saturates firing neurons at 0.5 (gaussian pdf term -> 0, sigmoid -> 1,
+    both halved), a ~2x activation-scale shift vs the BN running stats."""
+    c = 16
+    params = snn.lif_init(c)
+    x = jnp.asarray(rng.normal(size=(32, c)).astype(np.float32)) * 2.0
+
+    train_fwd = snn.multi_step(params, x, 6, training=True,
+                               input_mode="constant", out="mean")
+    eval_hard = snn.multi_step(params, x, 6, training=False,
+                               input_mode="constant", out="mean",
+                               eval_spikes="hard")
+    np.testing.assert_allclose(np.asarray(eval_hard), np.asarray(train_fwd),
+                               atol=1e-6)
+    # and the soft default is genuinely different (firing neurons halved)
+    eval_soft = snn.multi_step(params, x, 6, training=False,
+                               input_mode="constant", out="mean")
+    assert float(jnp.max(jnp.abs(eval_soft - train_fwd))) > 0.1
+    # soft spike value of a strongly-firing neuron saturates at 0.5
+    from sapcu_tpu.snn.surrogate import soft_spike
+    assert abs(float(soft_spike(jnp.asarray(9.0))) - 0.5) < 1e-3
+
+
 def test_fn_rate_mode_trains():
     """snn_mode="rate" fn: spikes fire, outputs vary across patches, and
     encoder gradients are finite (the feedback default produces exactly-zero
