@@ -113,8 +113,18 @@ def sc_encode(params, state, cloud: jax.Array, cfg: dict, *,
         # coding keeps a graded, surrogate-differentiable signal.
         st = snn.init_state(enc_p["snn"][i], y)
         acc = jnp.zeros_like(y)
+        # Hard Heaviside spikes at eval (train/eval-consistent — the soft
+        # eval mixture saturates firing neurons at 0.5, halving
+        # activations vs the BN running stats; see snn/neuron.py
+        # lif_step). Default HARD: sc is always rate-coded, and on the
+        # trained checkpoint hard eval is strictly better than the
+        # reference-quirk soft eval (angular 16.1 vs 19.6 deg signed,
+        # dist MAE 0.0043 vs 0.0051 vs true labels). eval_spikes="soft"
+        # restores the quirk for comparison.
+        hard = None if cfg.get("eval_spikes") == "soft" else True
         for _ in range(cfg["time_steps"]):
-            s, st = snn.lif_step(enc_p["snn"][i], st, y, training=training)
+            s, st = snn.lif_step(enc_p["snn"][i], st, y, training=training,
+                                 hard=hard if not training else None)
             acc = acc + s
         y = acc / cfg["time_steps"]
         x = jnp.max(y, axis=-2)                        # [B, N, C]
