@@ -65,7 +65,11 @@ def _refine_body(fn_params, fn_state, fd_params, fd_state, cloud, seed_tile,
 
     if compute_dtype != "float32":
         fn_params, fn_state = cast(fn_params), cast(fn_state)
-        fd_params, fd_state = cast(fd_params), cast(fd_state)
+        # fd's decoder always computes in f32 (see fd_decoder_apply: its
+        # trained BN variances are ~1e-6 and the bf16-fused segment NaNs)
+        # — keep its params/state at full precision too.
+        fd_params = {**cast(fd_params), "dec": fd_params["dec"]}
+        fd_state = {**cast(fd_state), "dec": fd_state["dec"]}
 
     d = ops.pairwise_sqdist(seed_tile, cloud)
     _, idx = jax.lax.top_k(-d, k)

@@ -376,7 +376,18 @@ def fd_encoder_apply(params, state, x, cfg, *, training: bool,
 
 
 def fd_decoder_apply(params, state, x, cfg, *, training: bool, rng=None):
-    """StandardDistanceDecoder: [B, emb] -> non-negative distances [B]."""
+    """StandardDistanceDecoder: [B, emb] -> non-negative distances [B].
+
+    Always computes in float32 regardless of the serving dtype: the
+    trained decoder's BN running variances are tiny (~1e-6), so eval
+    activations legitimately reach ~1e6 (attention logits ~1e12) before
+    the LayerNorm renormalises — correct in f32, but the XLA-TPU bf16
+    fusion of this segment produces NaN (measured: jit+bf16 -> all-NaN,
+    eager or f32 -> clean, any input). The decoder is <0.5% of fd FLOPs,
+    so f32 here costs nothing; torch autocast keeps BN in fp32 for the
+    same reason (see bn_apply).
+    """
+    x = x.astype(jnp.float32)
     dec_p, dec_s = params["dec"], state["dec"]
     new_dec = dict(dec_s)
     rngs = iter(jax.random.split(rng, 8)) if rng is not None else iter([None] * 8)
