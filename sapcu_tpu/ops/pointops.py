@@ -38,10 +38,23 @@ def pairwise_sqdist(src: jax.Array, dst: jax.Array) -> jax.Array:
     # inference): neighbour selection on bf16-accumulated distances adds
     # avoidable index divergence from the f32 reference, and the f32
     # accumulation is free on the MXU.
+    #
+    # For f32 INPUTS the pass precision matters too: the TPU MXU runs
+    # f32 dots as truncated-bf16 passes under the default precision,
+    # which perturbs squared distances by up to ~2.6e-3 absolute
+    # (measured, 2048-point cloud) — at seed-band distances (~0.013,
+    # squared 1.7e-4) that exceeds the value itself and reorders
+    # neighbours, silently breaking the "exact" seed math on device.
+    # precision=HIGHEST restores ~2e-7 agreement with f64 at a cost only
+    # paid by f32-input matmuls (bf16 inputs run the native bf16 MXU
+    # path either way; CPU is unaffected).
     s2 = jnp.sum(jnp.square(src.astype(jnp.float32)), axis=-1, keepdims=True)
     d2 = jnp.sum(jnp.square(dst.astype(jnp.float32)), axis=-1, keepdims=True)
+    prec = (jax.lax.Precision.HIGHEST
+            if src.dtype == jnp.float32 or dst.dtype == jnp.float32
+            else None)
     inner = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=prec)
     return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
 
 
