@@ -20,7 +20,11 @@ nothing — VERDICT.md missing #1):
   still produces a parseable artifact.
 
 Env: BENCH_BATCH (default 1024 — the tuned refine chunk), BENCH_DTYPE
-(default bfloat16), BENCH_REPS, BENCH_MODE (exact|fast),
+(default bfloat16), BENCH_REPS, BENCH_MODE (sc|fast|exact; default sc —
+the flagship serving mode: quality-gated at <=0.85% of the exact path
+with trained weights, out/metrics/fast_gate.jsonl, and better CD vs
+dense GT than exact on the sweep, out/metrics/quality_sc.json),
+BENCH_ALSO_FAST (default 1 in sc mode: stamp a fast-mode e2e number too),
 BENCH_WEIGHTS (checkpoint dir with model_best.pt pair; default
 out/release if present, else random init — same FLOPs either way).
 """
@@ -84,7 +88,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    mode = os.environ.get("BENCH_MODE", "fast")
+    mode = os.environ.get("BENCH_MODE", "sc")
 
     fn_bundle = get_model(load_config("configs/fn.yaml"), "fn")
     fd_bundle = get_model(load_config("configs/fd.yaml"), "fd")
@@ -153,6 +157,20 @@ def main():
         _record(n_out / (time.time() - t0), f"steady_{i}/{reps}")
     dt = time.time() - t0
     _record(n_out / dt, "done")
+
+    # comparison point: one fast-mode e2e rep (same weights/dtype), so
+    # the artifact carries both serving modes
+    if mode == "sc" and os.environ.get("BENCH_ALSO_FAST", "1") != "0":
+        upf = Upsampler(fn_bundle, fd_bundle, batch_size=batch,
+                        compute_dtype=dtype, mode="fast")
+        upf.upsample_device(cloud)  # warmup/compile
+        rot = np.float32([[np.cos(9), -np.sin(9), 0],
+                          [np.sin(9), np.cos(9), 0], [0, 0, 1]])
+        t0 = time.time()
+        pts, n = upf.upsample_device(cloud @ rot.T)
+        pts.block_until_ready()
+        _record(_result["value"], "done",
+                fast_pts_per_s=round(n / (time.time() - t0), 1))
 
     _done.set()
     _emit_and_exit()

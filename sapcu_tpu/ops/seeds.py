@@ -50,11 +50,6 @@ from sapcu_tpu.ops.pointops import (pairwise_sqdist, point_triangle_closest,
 
 BAND_LO = 0.0110
 BAND_HI = 0.0150
-# generate_seeds_device dispatches to the certified block-candidate path
-# for clouds larger than this (override: SAPCU_SEEDS_BLOCKED_MIN_N / the
-# SAPCU_SEEDS_PATH=full|blocked force switches). Set from on-chip
-# measurement — see scripts/bench_seeds.py and STATUS.md.
-BLOCKED_MIN_N = 4096
 
 
 def _on_tpu() -> bool:
@@ -198,6 +193,35 @@ def _mask_from_dist(points, dist, boxsize: int, cell, band_lo, band_hi):
     return mask
 
 
+def _topk10_gather(negd: jax.Array, cd: jax.Array
+                   ) -> tuple[jax.Array, jax.Array]:
+    """10 iterative argmax rounds + candidate gather, gather-free.
+
+    negd: [C, T, K] (negated squared distances), cd: [C, K, 3] candidate
+    coordinates -> (vals [C, T, 10] descending like ``topk_small``,
+    nn [C, T, 10, 3] the selected candidates' coordinates).
+
+    The row gathers run as one-hot matmuls (TPU gather HLOs on C=3 data
+    are slow custom calls — the round-1 framework-wide finding). A
+    one-hot f32 matmul at HIGHEST precision copies rows bitwise (each
+    output element is 1.0 * x + exact zeros), so this stays exact for
+    the seed-band math; scripts/bench_seeds.py asserts parity on-chip.
+    """
+    k_axis = negd.shape[-1]
+    x = negd
+    vals, nns = [], []
+    for _ in range(10):
+        i = jnp.argmax(x, axis=-1)                          # [C, T]
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        oh = jax.nn.one_hot(i, k_axis, dtype=cd.dtype)      # [C, T, K]
+        nn = jnp.einsum("ctk,ckd->ctd", oh, cd,
+                        precision=jax.lax.Precision.HIGHEST)
+        vals.append(v)
+        nns.append(nn)
+        x = jnp.where(jax.nn.one_hot(i, k_axis, dtype=bool), -jnp.inf, x)
+    return jnp.stack(vals, axis=-1), jnp.stack(nns, axis=-2)
+
+
 def surface_distance_blocked(centers_blocked: jax.Array,
                              points: jax.Array,
                              n_cand: int = 128, block_chunk: int = 1024
@@ -224,6 +248,7 @@ def surface_distance_blocked(centers_blocked: jax.Array,
     """
     nb, t = centers_blocked.shape[:2]
     pts = points.astype(jnp.float32)
+    n_cand = min(n_cand, pts.shape[0])
     bc = jnp.mean(centers_blocked, axis=1)               # [NB, 3]
 
     chunk = min(2048, nb)
@@ -245,10 +270,7 @@ def surface_distance_blocked(centers_blocked: jax.Array,
     def one(args):
         cb, cd, bcc, d128c = args   # [C, T, 3], [C, n_cand, 3], [C, 3], [C]
         d = pairwise_sqdist(cb, cd)                      # [C, T, n_cand]
-        vals, idx = topk_small(-d, 10)                   # nearest-first
-        nn = jnp.take_along_axis(
-            cd, idx.reshape(idx.shape[0], t * 10)[..., None],
-            axis=1).reshape(idx.shape[0], t, 10, 3)
+        vals, nn = _topk10_gather(-d, cd)                # nearest-first
         nearest = nn[..., 0:1, :]
         second = nn[..., 1:2, :]
         others = nn[..., 2:10, :]
@@ -408,8 +430,8 @@ def _pruned_exact_mask(pts: jax.Array, boxsize: int, cell: float,
     for _ in range(8):  # refinement: converges in 0-2 rounds in practice
         mask, reach = _mask_reach_from_dist(pts, dist, boxsize, cell,
                                             band_lo, band_hi)
-        need = _dilate6(reach)
-        missing = need & ~computed
+        # the BFS only reads dist at voxels in reach (see _shortlist_pass)
+        missing = reach & ~computed
         n_miss = int(jnp.sum(missing))
         if n_miss == 0:
             return mask
@@ -421,12 +443,229 @@ def _pruned_exact_mask(pts: jax.Array, boxsize: int, cell: float,
     return seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
 
 
+# --------------------------------------------- shortlist-exact path
+#
+# The production default (SAPCU_SEEDS_PATH=auto): combines the pruned
+# path's shell restriction with the blocked path's per-block candidate
+# shortlists, refined to exact parity, in ONE device dispatch + ONE
+# 8-byte host pull on the common path (each extra dispatch/pull costs
+# ~100ms+ of stdio-tunnel latency — see CLAUDE.md):
+#   1. _shortlist_pass (one jit): block-level 1-NN lower bound (with a
+#      sample-spacing-aware margin) prunes the 8^3-voxel blocks to the
+#      surface shell; active blocks' voxels get the 10-NN + 8-triangle
+#      distance against the n_cand points nearest their block center
+#      (N/n_cand less selection work than full-N), each voxel carrying
+#      the triangle-inequality completeness certificate of
+#      surface_distance_blocked; BFS + emission mask; `missing` = voxels
+#      the BFS read (= the reach set) that are pruned-away OR
+#      uncertified; a speculative full-N refinement of up to scap
+#      missing voxels + BFS rerun happens inside the same dispatch.
+#   2. if missing is still non-empty, _refine_round recomputes those
+#      voxels with the full-N exact kernel and reruns the BFS, looping
+#      until every read voxel is exact — identical convergence argument
+#      to _pruned_exact_mask: wrong-high shell values (false walls) are
+#      in the read set and get recomputed; voxels beyond a wall enter
+#      the read set only after the wall falls; the exact-known set grows
+#      monotonically. The final mask equals the dense grid's.
+# The certificate is an accelerator (first-pass misses are rare), not a
+# correctness requirement. Overflowing bcap active blocks (giant
+# surfaces) falls back to _pruned_exact_mask.
+#
+# Exactness caveat (measured, documented): certified voxels whose
+# candidate list contains EXACT distance ties can legitimately pick a
+# different 10-NN set than the full-grid scan order and emit a
+# different (equally valid) triangle distance — observed 2 voxels per
+# ~281k seeds on TPU. The reference's kd-tree max-heap tie order is
+# equally arbitrary (dense.cpp pops equal keys in heap order). The CPU
+# parity tests are bitwise because both paths see identical f32 values
+# in identical order there.
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("boxsize", "bcap", "n_cand", "scap",
+                                    "chunk"))
+def _shortlist_pass(points: jax.Array, boxsize: int, cell: float,
+                    band_lo: float, band_hi: float, bcap: int,
+                    n_cand: int, slack_cells: float, scap: int,
+                    chunk: int):
+    bs_pad = -(-boxsize // 8) * 8
+    nb1 = bs_pad // 8
+    pts = points.astype(jnp.float32)
+    n = pts.shape[0]
+
+    # Pruning threshold: a voxel's triangle distance can undershoot its
+    # 1-NN distance by roughly the local sample spacing (the 8 triangles
+    # span the 10-NN, whose surface passes between samples), so the
+    # shell margin must scale with the cloud's density — a fixed margin
+    # that works at N=2048 misses most of the reach set at N=512. Use
+    # the 90th-percentile 1-NN spacing (robust to isolated points) plus
+    # slack_cells cells. Mis-pruned voxels are caught by the refinement
+    # (exactness never depends on this threshold).
+    def _one_nn(tile):
+        d = pairwise_sqdist(tile, pts)
+        d = jnp.where(d <= 0.0, jnp.inf, d)  # drop self-pairs
+        return jnp.min(d, axis=-1)
+
+    pchunk = min(2048, n)
+    ppad = (-n) % pchunk
+    d1nn_sq = jax.lax.map(_one_nn,
+                          jnp.pad(pts, ((0, ppad), (0, 0)),
+                                  constant_values=1e6)
+                          .reshape(-1, pchunk, 3)).reshape(-1)[:n]
+    spacing = jnp.sqrt(jnp.quantile(d1nn_sq, 0.9))
+    thresh = band_hi + spacing + slack_cells * cell
+
+    # block-center grid + 1-NN lower bound for member voxels
+    axis_b = (jnp.arange(nb1, dtype=jnp.float32) * 8.0 + 4.0) * cell - 0.5
+    gx, gy, gz = jnp.meshgrid(axis_b, axis_b, axis_b, indexing="ij")
+    bc = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)    # [NB, 3]
+    d1 = jnp.sqrt(jnp.maximum(
+        jnp.min(pairwise_sqdist(bc, pts), axis=-1), 0.0))
+    r_block = float(np.sqrt(3.0)) * 3.5 * cell  # center -> farthest voxel
+    lb = d1 - r_block                                       # [NB]
+
+    active = lb <= thresh
+    # BFS-source blocks are always active
+    vox = jnp.clip(jnp.floor((pts + 0.5) / cell).astype(jnp.int32),
+                   0, boxsize - 1)
+    bvox = vox // 8
+    active = active.reshape(nb1, nb1, nb1) \
+        .at[bvox[:, 0], bvox[:, 1], bvox[:, 2]].set(True).reshape(-1)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    overflow = n_active > bcap
+
+    (idx_b,) = jnp.nonzero(active, size=bcap, fill_value=0)
+    bx = idx_b // (nb1 * nb1)
+    by = (idx_b // nb1) % nb1
+    bz = idx_b % nb1
+    off = jnp.stack(jnp.meshgrid(jnp.arange(8), jnp.arange(8),
+                                 jnp.arange(8), indexing="ij"),
+                    axis=-1).reshape(512, 3)                 # [512, 3]
+    vox_int = (jnp.stack([bx, by, bz], axis=-1)[:, None, :] * 8
+               + off[None])                                  # [bcap, 512, 3]
+    centers_sel = vox_int.astype(jnp.float32) * cell + 0.5 * cell - 0.5
+
+    dist_b, ok_b = surface_distance_blocked(centers_sel, pts,
+                                            n_cand=n_cand)
+
+    # scatter into the [bs, bs, bs] grid (+inf / uncertified elsewhere);
+    # pad-block duplicates rewrite identical values, edge voxels beyond
+    # boxsize go to a dump slot
+    valid = jnp.all(vox_int < boxsize, axis=-1)              # [bcap, 512]
+    flat = jnp.where(
+        valid,
+        (vox_int[..., 0] * boxsize + vox_int[..., 1]) * boxsize
+        + vox_int[..., 2],
+        boxsize ** 3).reshape(-1)
+    dist = jnp.full((boxsize ** 3 + 1,), jnp.inf, jnp.float32) \
+        .at[flat].set(dist_b.reshape(-1))[:-1] \
+        .reshape(boxsize, boxsize, boxsize)
+    okg = jnp.zeros((boxsize ** 3 + 1,), bool) \
+        .at[flat].set((ok_b & valid).reshape(-1))[:-1] \
+        .reshape(boxsize, boxsize, boxsize)
+
+    mask, reach = _mask_reach_from_dist(points, dist, boxsize, cell,
+                                        band_lo, band_hi)
+    # The BFS only ever reads dist at voxels IN reach (expandability of
+    # reached voxels; emission on reach) — reach & ~okg is the exact set
+    # of reads that aren't yet trustworthy.
+    missing = reach & ~okg
+
+    # On-device refinement: recompute missing voxels with the full-N
+    # exact kernel (<=scap per round, first-in-C-order) and rerun the
+    # BFS, until no read voxel is untrusted. The full-N kernel on <=scap
+    # voxels is trivial next to the shortlist stage, and looping on
+    # DEVICE keeps the common path at ONE dispatch + one 8-byte stats
+    # pull — a host-side round costs ~100ms+ of stdio-tunnel latency and
+    # a one-time multi-10s AOT compile of the refine program (measured
+    # 77s, scripts/bench_seeds history). Two refinements over the plain
+    # reach & ~okg loop:
+    # - partial batches: rounds take the first scap of the workset (the
+    #   marked-exact subset matches what was computed), so correctness
+    #   never depends on scap;
+    # - K-layer lookahead: a mis-pruned strip of W voxel layers would
+    #   otherwise peel one layer per round (the BFS only exposes the
+    #   next layer once the wall falls) — recomputing dilate6^K(reach)
+    #   fixes walls before they are hit, ~(K+1) layers per round.
+    lookahead = 4
+
+    def _workset(reach, okg):
+        grow = reach
+        for _ in range(lookahead):
+            grow = _dilate6(grow)
+        return grow & ~okg
+
+    def _cond(c):
+        _, okg, _, _, reach, it = c
+        return jnp.any(reach & ~okg) & (it < 16)
+
+    def _body(c):
+        dist, okg, mask, _, reach, it = c
+        work = _workset(reach, okg).reshape(-1)
+        take = work & (jnp.cumsum(work.astype(jnp.int32)) <= scap)
+        sub = take.reshape(mask.shape)
+        dmiss = _masked_exact_dist(points, sub, boxsize, cell, scap,
+                                   chunk)
+        dist = jnp.where(sub, dmiss, dist)
+        okg = okg | sub
+        mask, reach = _mask_reach_from_dist(points, dist, boxsize, cell,
+                                            band_lo, band_hi)
+        return (dist, okg, mask, sub, reach, it + 1)
+
+    dist, okg, mask, _, reach, _ = jax.lax.while_loop(
+        _cond, _body, (dist, okg, mask, missing, reach, jnp.int32(0)))
+    missing = reach & ~okg
+    # nm > 0 on exit means 16 rounds were not enough (host loop takes
+    # over with dynamically bucketed capacity)
+    stats = jnp.stack([jnp.sum(missing.astype(jnp.int32)),
+                       overflow.astype(jnp.int32)])
+    return mask, dist, okg, missing, stats
+
+
+@functools.partial(jax.jit, static_argnames=("boxsize", "mcap", "chunk"))
+def _refine_round(points, dist, okg, missing, boxsize: int, cell,
+                  band_lo, band_hi, mcap: int, chunk: int):
+    dmiss = _masked_exact_dist(points, missing, boxsize, cell, mcap, chunk)
+    dist = jnp.where(missing, dmiss, dist)
+    okg = okg | missing
+    mask, reach = _mask_reach_from_dist(points, dist, boxsize, cell,
+                                        band_lo, band_hi)
+    missing2 = reach & ~okg
+    return mask, dist, okg, missing2, jnp.sum(missing2.astype(jnp.int32))
+
+
+def _fast_exact_mask(pts: jax.Array, boxsize: int, cell: float,
+                     band_lo: float, band_hi: float, chunk: int,
+                     bcap: int = 12288, n_cand: int = 64,
+                     slack_cells: float = 3.0, scap: int = 8192):
+    """Shortlist-exact seed mask (see block comment above)."""
+    nb_total = (-(-boxsize // 8)) ** 3
+    bcap = min(bcap, nb_total)
+    mask, dist, okg, missing, stats = _shortlist_pass(
+        pts, boxsize, cell, band_lo, band_hi, bcap, n_cand, slack_cells,
+        scap, chunk)
+    n_miss, overflow = (int(x) for x in np.asarray(stats))
+    if overflow:
+        return _pruned_exact_mask(pts, boxsize, cell, band_lo, band_hi,
+                                  chunk)
+    for _ in range(8):  # converges in 0-2 rounds in practice
+        if n_miss == 0:
+            return mask
+        mcap = _bucket(n_miss, base=4096)
+        mask, dist, okg, missing, nm = _refine_round(
+            pts, dist, okg, missing, boxsize, cell, band_lo, band_hi,
+            mcap, chunk)
+        n_miss = int(nm)
+    # safety net: fall back to the dense grid (never hit in testing)
+    return seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+
+
 def generate_seeds_device(points, cell: float = 0.004,
                           band_lo: float = BAND_LO, band_hi: float = BAND_HI,
                           chunk: int = 8192):
     """[N, 3] cloud (host or device) -> (centers [cap, 3] ON DEVICE,
-    n_valid int). Only one scalar crosses to the host (the count, to pick
-    the bucketed capacity) — the axon tunnel makes large device->host
+    n_valid int). Only a few scalars cross to the host (refinement /
+    bucket-capacity counts) — the axon tunnel makes large device->host
     transfers prohibitively slow, so the seed set never leaves the chip.
     """
     import os
@@ -434,15 +673,18 @@ def generate_seeds_device(points, cell: float = 0.004,
     boxsize = int(round(1.0 / cell))
     pts = jnp.asarray(points, dtype=jnp.float32)
     mask = None
-    # SAPCU_SEEDS_PATH: auto (default) | full | blocked — the blocked
-    # threshold is tunable for measurement (scripts/bench_seeds.py).
+    # SAPCU_SEEDS_PATH: auto (default — shortlist-exact for dense
+    # clouds, dense grid for sparse ones, with pruned/full fallbacks) |
+    # shortlist | pruned | blocked | full.
     path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
-    blocked_min_n = int(os.environ.get("SAPCU_SEEDS_BLOCKED_MIN_N",
-                                       BLOCKED_MIN_N))
-    use_blocked = (path == "blocked"
-                   or (path == "auto" and _on_tpu()
-                       and pts.shape[0] > blocked_min_n))
-    if use_blocked:
+    if path == "shortlist" or (path == "auto" and pts.shape[0] > 1024):
+        # Below ~1k points the dense grid wins outright (measured
+        # on-chip: full 0.78s vs shortlist 1.7s at N=512 — the exact
+        # kernel's selection cost scales with N, and sparse clouds need
+        # a thick pruning shell), so auto only shortlists dense clouds.
+        mask = _fast_exact_mask(pts, boxsize, cell, band_lo, band_hi,
+                                chunk)
+    if mask is None and path == "blocked":
         # Block-candidate path: selection/gather work scales with the 128
         # candidates instead of N, so it wins for large clouds. The
         # per-voxel certificate must hold on every voxel the BFS READS
@@ -455,11 +697,11 @@ def generate_seeds_device(points, cell: float = 0.004,
                                          band_lo, band_hi)
         if bool(jnp.all(okg | ~reach)):
             mask = m
-    if mask is None and path in ("auto", "pruned"):
-        # Default: pruned-exact (coarse lower-bound pass + exact kernel on
+    if mask is None and path == "pruned":
+        # Pruned-exact (coarse lower-bound pass + full-N exact kernel on
         # the active shell + refinement to full parity — see the block
         # comment above _group_lower_bound). Same result as the dense
-        # grid, ~4-6x faster at PU1K sizes.
+        # grid; also the shortlist path's overflow fallback.
         mask = _pruned_exact_mask(pts, boxsize, cell, band_lo, band_hi,
                                   chunk)
     if mask is None:

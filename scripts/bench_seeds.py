@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Seed-stage microbench: full-grid XLA vs certified block-candidate path.
+"""Seed-stage microbench: shortlist-exact (default) vs pruned vs full grid.
 
-VERDICT r2 #4: the block-candidate shortcut (ops/seeds.py) only engaged
-for N > 4096, but PU1K inputs are 256-2048 points, so the production sweep
-always paid the full 15.6M-voxel x N path. This measures both paths (and
-the certificate hit rate) at PU1K sizes on the real chip so the dispatch
-gate is set from data, not guesswork.
+VERDICT r2 #4 asks for the seed stage at <=0.5s for PU1K-size inputs.
+This measures the production default (`_fast_exact_mask`: block-level
+prune + per-block candidate shortlists + refinement to parity), the
+pruned-exact path, and the dense grid, on the real chip — plus bitwise
+parity of every path against the dense grid (all paths refine to exact,
+so any diff is a bug).
 
 Timing discipline per CLAUDE.md: block_until_ready is a no-op under the
 axon tunnel — sync by pulling a 4-byte scalar; vary inputs across reps to
@@ -45,41 +46,34 @@ def main():
     sizes = [int(s) for s in sys.argv[1:]] or [512, 2048]
     cell = 0.004
     boxsize = int(round(1.0 / cell))
+
+    paths = {
+        "shortlist": lambda p: S._fast_exact_mask(
+            p, boxsize, cell, S.BAND_LO, S.BAND_HI, 8192),
+        "pruned": lambda p: S._pruned_exact_mask(
+            p, boxsize, cell, S.BAND_LO, S.BAND_HI, 8192),
+        "full": lambda p: S.seed_mask(p, boxsize, cell),
+    }
     for n in sizes:
-        # ---- full-grid path (the current small-N default)
-        for i in range(3):
-            pts = cloud_of(n, i)
-            t0 = time.time()
-            m = S.seed_mask(pts, boxsize, cell)
-            cnt = sync(m.astype(jnp.float32))
-            t_full = time.time() - t0
-            if i:  # skip compile rep
-                print(f"N={n} full-grid: {t_full:.3f}s ({int(cnt)} seeds)")
+        for name, fn in paths.items():
+            for i in range(3):
+                pts = cloud_of(n, i)
+                t0 = time.time()
+                m = fn(pts)
+                cnt = sync(m.astype(jnp.float32))
+                dt = time.time() - t0
+                if i:  # skip compile rep
+                    print(f"N={n} {name:9s}: {dt:.3f}s ({int(cnt)} seeds)")
 
-        # ---- blocked path: distances + certificate + mask
-        for i in range(3):
-            pts = cloud_of(n, 10 + i)
-            t0 = time.time()
-            dist, okg = S._blocked_dist(pts, boxsize, cell)
-            m, reach = S._mask_reach_from_dist(pts, dist, boxsize, cell,
-                                               S.BAND_LO, S.BAND_HI)
-            cert_ok = bool(jnp.all(okg | ~reach))
-            cnt = sync(m.astype(jnp.float32))
-            t_blk = time.time() - t0
-            if i:
-                print(f"N={n} blocked:   {t_blk:.3f}s ({int(cnt)} seeds, "
-                      f"certificate={'OK' if cert_ok else 'FAIL->fallback'})")
-
-        # ---- certificate agreement vs full grid (same cloud)
+        # parity on a held-out cloud (all paths refine to exact; rare
+        # distance-tie flips in the shortlist are benign — see the
+        # exactness caveat above _shortlist_pass)
         pts = cloud_of(n, 99)
-        m_full = S.seed_mask(pts, boxsize, cell)
-        dist, okg = S._blocked_dist(pts, boxsize, cell)
-        m_blk, reach = S._mask_reach_from_dist(pts, dist, boxsize, cell,
-                                               S.BAND_LO, S.BAND_HI)
-        ok = bool(jnp.all(okg | ~reach))
-        same = int(jnp.sum(m_full != m_blk))
-        print(f"N={n} parity: certificate={'OK' if ok else 'FAIL'}, "
-              f"mask diff voxels={same} (must be 0 when certificate OK)")
+        m_full = paths["full"](pts)
+        for name in ("shortlist", "pruned"):
+            diff = int(jnp.sum(paths[name](pts) != m_full))
+            print(f"N={n} parity {name} vs full: diff voxels={diff} "
+                  f"(0 expected; <=tie noise tolerated for shortlist)")
 
 
 if __name__ == "__main__":

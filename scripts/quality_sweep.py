@@ -115,6 +115,16 @@ def main():
         run([sys.executable, "scripts/evaluation_cd.py", "--pre_path",
              in_dir, "--gt_path", gt_dir, "--json-out", in_json],
             env_extra={"JAX_PLATFORMS": "cpu"})
+        # point-to-mesh: noise-free quality (CD's floor is the GT
+        # sampling density; distance to the true surface is not)
+        p2m_json = os.path.join(work, f"p2m_{n}_{args.mode}.json")
+        p2m_in_json = os.path.join(work, f"p2m_input_{n}.json")
+        run([sys.executable, "scripts/evaluation_p2m.py", "--pred-dir",
+             out_dir, "--mesh-dir", args.meshes, "--json-out", p2m_json],
+            env_extra={"JAX_PLATFORMS": "cpu"})
+        run([sys.executable, "scripts/evaluation_p2m.py", "--pred-dir",
+             in_dir, "--mesh-dir", args.meshes, "--json-out", p2m_in_json],
+            env_extra={"JAX_PLATFORMS": "cpu"})
         with open(cd_json) as f:
             up = json.load(f)["summary"]
         with open(in_json) as f:
@@ -123,6 +133,10 @@ def main():
             "upsampled": up,
             "input_baseline": base,
         }
+        with open(p2m_json) as f:
+            report["per_size"][n]["p2m"] = json.load(f)["summary"]
+        with open(p2m_in_json) as f:
+            report["per_size"][n]["p2m_input"] = json.load(f)["summary"]
         cd_up = report["per_size"][n]["upsampled"].get("cd")
         cd_in = report["per_size"][n]["input_baseline"].get("cd")
         if cd_up and cd_in:

@@ -95,3 +95,25 @@ def test_pruned_exact_equals_dense_grid():
             pts, boxsize, cell, sm.BAND_LO, sm.BAND_HI, 4096,
             slack_cells=slack))
         assert (pruned == dense).all(), f"slack={slack}"
+
+
+def test_shortlist_exact_equals_dense_grid():
+    """The shortlist path (block prune + per-block candidate 10-NN +
+    certificate + refinement) must reproduce the dense-grid mask
+    bit-for-bit: with zero slack (refinement grows the shell itself),
+    with a starved shortlist (n_cand=16 -> certificates fail and the
+    full-N refinement takes over), and through the bcap-overflow
+    fallback."""
+    from sapcu_tpu.ops import seeds as sm
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(256, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = jnp.asarray(v * 0.35)
+    boxsize = 50
+    cell = 1.0 / boxsize
+    dense = np.asarray(sm.seed_mask(pts, boxsize, cell, chunk=4096))
+    for kw in ({}, {"slack_cells": 0.0}, {"n_cand": 16}, {"bcap": 4}):
+        got = np.asarray(sm._fast_exact_mask(
+            pts, boxsize, cell, sm.BAND_LO, sm.BAND_HI, 4096, **kw))
+        assert (got == dense).all(), f"kwargs={kw}"
