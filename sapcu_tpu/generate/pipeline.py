@@ -126,11 +126,17 @@ def refine_mega(fn_params, fn_state, fd_params, fd_state, cloud, seeds,
 # ------------------------------------------------ sc (shared-cloud) mode
 @functools.partial(jax.jit, static_argnames=("cfg_s", "chunk",
                                              "compute_dtype"))
-def sc_refine(sc_params, sc_state, cloud, seeds, cfg_s, chunk: int = 8192,
-              compute_dtype: str = "float32"):
+def sc_refine(sc_params, sc_state, cloud, seeds, n_valid, cfg_s,
+              chunk: int = 8192, compute_dtype: str = "float32"):
     """Amortized refine: encode the cloud ONCE, then move every seed with
     the tiny per-seed head (models/sc_model.py) — one dispatch for the
     whole padded seed buffer (lax.map over fixed-size tiles).
+
+    The seed buffer is a power-of-two bucket, often ~2x the true count;
+    ``n_valid`` (traced scalar — no recompiles across counts) lets pad
+    tiles skip the head entirely (lax.map is a sequential scan, so the
+    cond genuinely skips the work; pads return their +1e3 sentinels and
+    are masked out by the caller's valid mask).
 
     Replaces the per-seed fn+fd evaluation of the exact path
     (~5.4 GFLOP/seed -> ~0.7 MFLOP/seed); quality vs exact is gated by
@@ -146,13 +152,20 @@ def sc_refine(sc_params, sc_state, cloud, seeds, cfg_s, chunk: int = 8192,
     feats, _ = scm.sc_encode(sc_params, sc_state, cloud_c, cfg,
                              training=False)
     tiles = seeds.reshape(-1, chunk, 3)
+    n_tiles_used = (jnp.asarray(n_valid, jnp.int32) + chunk - 1) // chunk
 
-    def body(tile):
+    def move(tile):
         n, d = scm.sc_head(sc_params, feats, cloud_c, tile[None].astype(cdt),
                            cfg, training=False)
         return tile + n[0] * d[0][:, None]
 
-    return jax.lax.map(body, tiles).reshape(-1, 3)
+    def body(args):
+        i, tile = args
+        return jax.lax.cond(i < n_tiles_used, move, lambda t: t, tile)
+
+    out = jax.lax.map(body, (jnp.arange(tiles.shape[0], dtype=jnp.int32),
+                             tiles))
+    return out.reshape(-1, 3)
 
 
 # ------------------------------------------------------- fast (probe) mode
@@ -432,10 +445,11 @@ class Upsampler:
         chunk = min(4096, cap_s, max(512, (1 << 26) // p_used))
         return _interp_project(seed_pts, probes, n_buf, d_buf, chunk=chunk)
 
-    def _sc_moved(self, cloud_j, seed_pts) -> jax.Array:
+    def _sc_moved(self, cloud_j, seed_pts, n_seeds: int) -> jax.Array:
         """Shared-cloud-encoder move over the whole padded seed buffer.
-        Pads (at +1e3) cost one head evaluation each and are masked out by
-        the caller's valid mask; one dispatch per cloud. With a mesh the
+        Pad tiles past n_seeds skip the head (lax.cond inside the
+        sequential tile map — the buffer is a power-of-two bucket, often
+        ~2x the true count); one dispatch per cloud. With a mesh the
         seed-tile axis shards over 'dp' (encode replicated per chip —
         it is ~1% of the head work)."""
         chunk = min(8192, seed_pts.shape[0])
@@ -448,27 +462,37 @@ class Upsampler:
         if pad:
             seed_pts = jnp.pad(seed_pts, ((0, pad), (0, 0)),
                                constant_values=1e3)
+        n_valid = jnp.asarray(n_seeds, jnp.int32)
         if self.mesh is not None:
             out = self._get_sharded_sc(chunk)(
                 self.sc_params, self.sc_state, cloud_j,
-                seed_pts.reshape(-1, chunk, 3))
+                seed_pts.reshape(-1, chunk, 3), n_valid)
             return out.reshape(-1, 3)[:cap]
         return sc_refine(self.sc_params, self.sc_state, cloud_j, seed_pts,
-                         self.sc_cfg_s, chunk, self.compute_dtype)[:cap]
+                         n_valid, self.sc_cfg_s, chunk,
+                         self.compute_dtype)[:cap]
 
     def _get_sharded_sc(self, chunk: int):
         key = ("sc", chunk)
         if key not in self._sharded_mega:
             from jax.experimental.shard_map import shard_map
 
-            def mapped(sc_params, sc_state, cloud, tiles):
+            def mapped(sc_params, sc_state, cloud, tiles, n_valid):
+                # tiles shard contiguously over 'dp': shard i holds global
+                # tiles [i*T_local, (i+1)*T_local) — its local valid count
+                # is the global one minus the rows before it (<=0 means
+                # every local tile is padding and skips the head).
+                shard = jax.lax.axis_index("dp").astype(jnp.int32)
+                n_loc = (jnp.asarray(n_valid, jnp.int32)
+                         - shard * tiles.shape[0] * chunk)
                 return sc_refine(sc_params, sc_state, cloud,
-                                 tiles.reshape(-1, 3), self.sc_cfg_s, chunk,
+                                 tiles.reshape(-1, 3), n_loc, self.sc_cfg_s,
+                                 chunk,
                                  self.compute_dtype).reshape(tiles.shape)
 
             self._sharded_mega[key] = jax.jit(shard_map(
                 mapped, mesh=self.mesh,
-                in_specs=(P(), P(), P(), P("dp")), out_specs=P("dp")))
+                in_specs=(P(), P(), P(), P("dp"), P()), out_specs=P("dp")))
         return self._sharded_mega[key]
 
     def refine_device(self, cloud, seed_pts, n_seeds: int
@@ -482,7 +506,7 @@ class Upsampler:
         if self.mode == "fast":
             moved = self._fast_moved(cloud_j, seed_pts, n_seeds)
         elif self.mode == "sc":
-            moved = self._sc_moved(cloud_j, seed_pts)
+            moved = self._sc_moved(cloud_j, seed_pts, n_seeds)
         else:
             moved = self._refine_tiles(cloud_j, seed_pts, n_seeds,
                                        want_nd=False)

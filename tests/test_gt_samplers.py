@@ -69,8 +69,6 @@ def sphere_off(tmp_path_factory):
 
 
 def test_sample_mesh_fn_pseudo_normals_radial(sphere_off, tmp_path):
-    import functools
-
     mod = _load("sample_mesh_fn")
     rng = np.random.default_rng(0)
     n_surface = 50000  # sample spacing ~ sqrt(area/n) ~ 0.008
@@ -79,10 +77,11 @@ def test_sample_mesh_fn_pseudo_normals_radial(sphere_off, tmp_path):
     # minutes on the 1-core CI CPU. Candidate DENSITY only sets how many
     # labels we get; label QUALITY is set by the surface sampling above,
     # which stays at full resolution. ~27x fewer queries, same assertions.
-    mod.candidate_queries = functools.partial(mod.candidate_queries,
-                                              fine=0.015)
+    # (Passed as a real argument — an earlier monkeypatched partial was
+    # silently overridden once process_mesh forwarded fine= explicitly,
+    # reverting this test to the tens-of-minutes path.)
     n = mod.process_mesh(sphere_off, str(tmp_path), n_surface=n_surface,
-                         d_lo=0.003, d_hi=0.03, rng=rng)
+                         d_lo=0.003, d_hi=0.03, rng=rng, fine=0.015)
     assert n > 100
     data = np.load(os.path.join(
         tmp_path, os.path.basename(sphere_off).replace(".off", "_fn.npz")))

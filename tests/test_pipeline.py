@@ -155,6 +155,31 @@ def test_sc_mode_end_to_end():
     assert radii.min() > 0.2 and radii.max() < 0.7
 
 
+def test_sc_refine_pad_skip_matches_full():
+    """Pad tiles skipping the head must not change any valid row."""
+    from sapcu_tpu.generate import pipeline as pl
+
+    sc_params, sc_state, sc_cfg = models.init_sc_model(
+        jax.random.PRNGKey(2), k=8, feat_dims=32, m_neighbors=4,
+        head_hidden=16, time_steps=2)
+    cfg_s = tuple(sorted(sc_cfg.items()))
+    cloud = jnp.asarray(_sphere(300))
+    n = 70  # valid seeds; buffer padded to 4 tiles of 64
+    rng = np.random.default_rng(0)
+    seeds = jnp.asarray(
+        np.pad((rng.normal(size=(n, 3)) * 0.4).astype(np.float32),
+               ((0, 256 - n), (0, 0)), constant_values=1e3))
+    full = pl.sc_refine(sc_params, sc_state, cloud, seeds,
+                        jnp.int32(256), cfg_s, 64)
+    skip = pl.sc_refine(sc_params, sc_state, cloud, seeds,
+                        jnp.int32(n), cfg_s, 64)
+    np.testing.assert_allclose(np.asarray(skip[:n]), np.asarray(full[:n]),
+                               atol=1e-6)
+    # pad tiles past the valid range return their sentinels untouched
+    np.testing.assert_array_equal(np.asarray(skip[128:]),
+                                  np.asarray(seeds[128:]))
+
+
 def test_sc_mode_sharded_matches_single():
     from sapcu_tpu import parallel
 
