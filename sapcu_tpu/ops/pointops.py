@@ -348,6 +348,30 @@ def knn_tiled(queries: jax.Array, refs: jax.Array, k: int,
     return dists, idxs
 
 
+def morton_code(points: jax.Array, cell: float,
+                origin: float = -0.5) -> jax.Array:
+    """Z-order (Morton) key of each point's voxel, 10 bits per axis.
+
+    points [..., 3] -> int32 [...] in [0, 2^30). Points quantized to
+    ``cell``-sized voxels from ``origin``; coordinates clip to [0, 1023].
+    Sorting by this key gives a space-filling-curve order in which
+    spatially near points are (mostly) near in rank — the basis of the
+    window-kNN approximation used by the inference outlier filter.
+    """
+    q = jnp.clip(jnp.floor((points - origin) / cell), 0, 1023).astype(
+        jnp.int32)
+
+    def spread(x):  # interleave 10 bits with two zero bits each
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+            | (spread(q[..., 2]) << 2))
+
+
 def smallest_eigvec_sym3(a: jax.Array) -> jax.Array:
     """Unit eigenvector of the smallest eigenvalue of a symmetric 3x3.
 

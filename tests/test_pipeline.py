@@ -127,6 +127,27 @@ def test_fast_mode_close_to_exact(upsampler):
     assert cd_fe < 0.05 * max(cd_ec, 1e-6), (cd_fe, cd_ec)
 
 
+def test_outlier_window_matches_full():
+    """The Morton-window outlier mask must agree with the full O(N^2) rule
+    on a dense shell (planted far outliers removed, inliers kept)."""
+    from sapcu_tpu.generate.pipeline import _outlier_mask, _outlier_mask_window
+
+    pts = _sphere(3000, seed=5)
+    pts[::500] *= 3.0                     # 6 blatant outliers
+    n = pts.shape[0]
+    cap = 4096
+    buf = np.pad(pts, ((0, cap - n), (0, 0)), constant_values=1e3)
+    valid = np.arange(cap) < n
+    full = np.asarray(_outlier_mask(jnp.asarray(buf), jnp.asarray(valid),
+                                    1.5, approx=False))
+    win = np.asarray(_outlier_mask_window(jnp.asarray(buf),
+                                          jnp.asarray(valid), 1.5, 0.08))
+    assert not win[n:].any()
+    assert not win[::500][: n // 500 + 1].any()      # outliers dropped
+    agree = (full[:n] == win[:n]).mean()
+    assert agree > 0.99, agree
+
+
 # ------------------------------------------------ sc (shared-cloud) mode
 def _sc_upsampler(mesh=None):
     fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
