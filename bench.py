@@ -21,9 +21,11 @@ nothing — VERDICT.md missing #1):
 
 Env: BENCH_BATCH (default 1024 — the tuned refine chunk), BENCH_DTYPE
 (default bfloat16), BENCH_REPS, BENCH_MODE (sc|fast|exact; default sc —
-the flagship serving mode: quality-gated at <=0.85% of the exact path
-with trained weights, out/metrics/fast_gate.jsonl, and better CD vs
-dense GT than exact on the sweep, out/metrics/quality_sc.json),
+the flagship serving mode: quality-gated on GT-Chamfer parity with the
+exact path using trained weights (scripts/quality_gate.py →
+out/metrics/quality_gate.json; sc beats exact's CD vs dense GT on the
+sweep) plus the resolution-floor proximity diagnostic in
+out/metrics/fast_gate.jsonl),
 BENCH_ALSO_FAST (default 1 in sc mode: stamp a fast-mode e2e number too),
 BENCH_WEIGHTS (checkpoint dir with model_best.pt pair; default
 out/release if present, else random init — same FLOPs either way).

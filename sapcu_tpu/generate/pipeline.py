@@ -26,6 +26,7 @@ Semantics preserved (generation.py):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -249,13 +250,16 @@ def _outlier_mask_window(pts, valid, threshold, morton_cell, k: int = 30,
     Points are sorted along a Z-order curve (ops.morton_code); each
     point's kNN candidates are its ``chunk + 2*window`` sorted-rank
     neighbours, which cover the true 30-NN for all but curve-discontinuity
-    points. The approximation can only OVERESTIMATE a point's mean 30-NN
-    distance (candidates are a subset of the cloud), so it errs toward
-    flagging more outliers, never fewer; far-from-surface outliers keep
-    large averages under any candidate subset and are always caught.
-    Used by the approx (fast/sc) serving modes; exact mode keeps the full
-    scan. Quality is gated in tests (window-vs-full keep agreement) and
-    by the serving-mode Chamfer gates.
+    points. Per point the approximation can only OVERESTIMATE the mean
+    30-NN distance (candidates are a subset of the cloud). That raises
+    the global mean too — so the rule is not strictly one-sided — but
+    curve discontinuities touch a tiny fraction of points, the global
+    mean shifts by far less than the 1.5x threshold margin, and
+    far-from-surface outliers keep large averages under any candidate
+    subset, so they are always caught. Used by the approx (fast/sc)
+    serving modes; exact mode keeps the full scan. Quality is gated in
+    tests (window-vs-full keep agreement) and by the GT-based serving
+    gate (scripts/quality_gate.py).
     """
     n = pts.shape[0]
     big = 1e3
@@ -579,7 +583,8 @@ class Upsampler:
             # variants at 8 per bucket while cutting the work up to ~4x
             gran = max(8192, cap // 8)
             rcap = min(cap, -(-n_seeds // gran) * gran)
-            if self.mode != "exact" and rcap >= 32768:
+            if (self.mode != "exact" and rcap >= 32768
+                    and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
                 # large clouds: the O(N^2) scan is pure HBM traffic
                 # (2.97 s of a 3.8 s sc cloud at 524k rows) — use the
                 # Morton-window kNN instead

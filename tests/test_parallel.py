@@ -166,3 +166,49 @@ def test_dp_train_step_has_single_gradient_allreduce(bundles):
     assert "all-reduce" in hlo  # the gradient psum must be there
     for op in ("collective-permute", "all-to-all"):
         assert op not in hlo, f"unexpected {op} in dp train step HLO"
+
+
+def _count_collectives(hlo_text: str) -> dict:
+    import re
+    counts = {}
+    for op in ["all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all"]:
+        counts[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo_text))
+    return counts
+
+
+def test_sharded_hot_loops_collective_free(bundles):
+    """The Amdahl story behind '8 chips ~ 8x on refine' (STATUS roadmap):
+    the per-tile sc refine must compile to ZERO cross-chip collectives
+    (tiles are fully local; cloud/params arrive replicated), and the
+    sharded outlier rule to nothing beyond its two documented psums
+    (global mean numerator/denominator; XLA may fuse them into one
+    all-reduce). A virtual-CPU mesh cannot measure N-chip throughput,
+    but it CAN prove the hot loops do not serialize on the ICI."""
+    fn_b, fd_b = bundles
+    sc_b = models.init_sc_model(jax.random.PRNGKey(2), k=8, feat_dims=32,
+                                m_neighbors=4, head_hidden=16, time_steps=2)
+    from sapcu_tpu.generate import Upsampler
+
+    mesh = parallel.data_parallel_mesh()
+    up = Upsampler(fn_b, fd_b, k_neighbors=16, dense_spacing=0.02,
+                   batch_size=64, mode="sc", sc_bundle=sc_b, mesh=mesh)
+
+    cloud = jnp.asarray(np.random.default_rng(0).normal(size=(128, 3)),
+                        jnp.float32)
+    cap, chunk = 2048, 256
+    tiles = jnp.zeros((cap // chunk, chunk, 3), jnp.float32)
+    sc_fn = up._get_sharded_sc(chunk)
+    hlo = sc_fn.lower(up.sc_params, up.sc_state, cloud, tiles,
+                      jnp.int32(1000)).compile().as_text()
+    counts = _count_collectives(hlo)
+    assert all(v == 0 for v in counts.values()), counts
+
+    pts = jnp.zeros((cap, 3), jnp.float32)
+    valid = jnp.arange(cap) < 1000
+    up._sharded_outlier(pts, valid)  # builds + caches the jitted fn
+    out_fn = up._sharded_mega["outlier"]
+    hlo = out_fn.lower(pts, valid, pts, valid).compile().as_text()
+    counts = _count_collectives(hlo)
+    assert counts["all-reduce"] <= 2, counts
+    assert sum(v for k, v in counts.items() if k != "all-reduce") == 0, counts
