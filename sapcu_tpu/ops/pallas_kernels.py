@@ -236,6 +236,161 @@ def surface_distance_pallas(centers: jax.Array, points: jax.Array,
     return out[:c, 0]
 
 
+# ----------------------------------------------- blocked shortlist kernel
+def _tri_sqdist_c(a, b, c, q):
+    """Squared point-triangle distance, component tuples of [G, T] arrays.
+
+    Exactly ops.pointops.point_triangle_closest's Voronoi-region formula
+    (dense.cpp:135-174 semantics) with the same first-match-wins region
+    priority, written per-component so Mosaic never sees a [..., 3] lane
+    axis or a concatenate.
+    """
+    def sub(u, v):
+        return (u[0] - v[0], u[1] - v[1], u[2] - v[2])
+
+    def dot(u, v):
+        return (u[0] * v[0] + u[1] * v[1]) + u[2] * v[2]
+
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    def axpy(p, d, s):  # p + d * s
+        return (p[0] + d[0] * s, p[1] + d[1] * s, p[2] + d[2] * s)
+
+    ab, ac, bc = sub(b, a), sub(c, a), sub(c, b)
+    snom, sdenom = dot(sub(q, a), ab), dot(sub(q, b), sub(a, b))
+    tnom, tdenom = dot(sub(q, a), ac), dot(sub(q, c), sub(a, c))
+    unom, udenom = dot(sub(q, b), bc), dot(sub(q, c), sub(b, c))
+
+    nrm = cross(ab, ac)
+    vc = dot(nrm, cross(sub(a, q), sub(b, q)))
+    va = dot(nrm, cross(sub(b, q), sub(c, q)))
+    vb = dot(nrm, cross(sub(c, q), sub(a, q)))
+
+    def safe_div(num, den):
+        return num / jnp.where(den == 0, 1.0, den)
+
+    on_ab = axpy(a, ab, safe_div(snom, snom + sdenom))
+    on_bc = axpy(b, bc, safe_div(unom, unom + udenom))
+    on_ca = axpy(a, ac, safe_div(tnom, tnom + tdenom))
+    den = va + vb + vc
+    u = safe_div(va, den)
+    v = safe_div(vb, den)
+    interior = (a[0] * u + b[0] * v + c[0] * (1.0 - u - v),
+                a[1] * u + b[1] * v + c[1] * (1.0 - u - v),
+                a[2] * u + b[2] * v + c[2] * (1.0 - u - v))
+
+    conds = [
+        (snom <= 0) & (tnom <= 0),                     # vertex a
+        (sdenom <= 0) & (unom <= 0),                   # vertex b
+        (tdenom <= 0) & (udenom <= 0),                 # vertex c
+        (vc <= 0) & (snom >= 0) & (sdenom >= 0),       # edge ab
+        (va <= 0) & (unom >= 0) & (udenom >= 0),       # edge bc
+        (vb <= 0) & (tnom >= 0) & (tdenom >= 0),       # edge ca
+    ]
+    outs = [a, b, c, on_ab, on_bc, on_ca]
+    cp = interior
+    for cond, val in zip(reversed(conds), reversed(outs)):
+        cp = (jnp.where(cond, val[0], cp[0]),
+              jnp.where(cond, val[1], cp[1]),
+              jnp.where(cond, val[2], cp[2]))
+    dq = sub(cp, q)
+    return (dq[0] * dq[0] + dq[1] * dq[1]) + dq[2] * dq[2]
+
+
+def _make_blocked_kernel(g: int, k: int, t: int):
+    def kernel(cx_ref, cy_ref, cz_ref, px_ref, py_ref, pz_ref,
+               best_ref, d10_ref):
+        cx, cy, cz = cx_ref[:], cy_ref[:], cz_ref[:]      # [G, T]
+        px, py, pz = px_ref[:], py_ref[:], pz_ref[:]      # [G, K]
+
+        # pairwise_sqdist's exact formula (s2 - 2*inner + d2), candidates
+        # on the sublane axis, voxels on lanes -> [G, K, T]. Pure VPU f32:
+        # no MXU dot, hence no Mosaic bf16-pass precision caveat (see
+        # surface_distance_pallas above / CLAUDE.md round-2 notes).
+        c2 = (cx * cx + cy * cy) + cz * cz                # [G, T]
+        p2 = (px * px + py * py) + pz * pz                # [G, K]
+        inner = ((px[:, :, None] * cx[:, None, :]
+                  + py[:, :, None] * cy[:, None, :])
+                 + pz[:, :, None] * cz[:, None, :])       # [G, K, T]
+        d = (c2[:, None, :] - 2.0 * inner) + p2[:, :, None]
+
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (g, k, t), 1)
+        q = (cx, cy, cz)
+        nn0 = nn1 = None
+        best = jnp.full((g, t), jnp.inf, jnp.float32)
+        d10 = None
+        for j in range(_K):
+            m = jnp.min(d, axis=1)                        # [G, T]
+            # first index attaining the min — topk_small's argmax tie rule
+            ik = jnp.min(jnp.where(d == m[:, None, :], kiota, k), axis=1)
+            oh = kiota == ik[:, None, :]                  # [G, K, T]
+            nn = (jnp.sum(jnp.where(oh, px[:, :, None], 0.0), axis=1),
+                  jnp.sum(jnp.where(oh, py[:, :, None], 0.0), axis=1),
+                  jnp.sum(jnp.where(oh, pz[:, :, None], 0.0), axis=1))
+            d = jnp.where(oh, jnp.inf, d)
+            if j == 0:
+                nn0 = nn                                  # nearest (c role)
+            elif j == 1:
+                nn1 = nn                                  # second (b role)
+            else:
+                best = jnp.minimum(best, _tri_sqdist_c(nn, nn1, nn0, q))
+            if j == _K - 1:
+                d10 = m
+        best_ref[:] = jnp.sqrt(best)
+        d10_ref[:] = jnp.sqrt(jnp.maximum(d10, 0.0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gblocks", "interpret"))
+def blocked_nn_triangle_pallas(cx, cy, cz, px, py, pz, gblocks: int = 8,
+                               interpret: bool = False
+                               ) -> tuple[jax.Array, jax.Array]:
+    """Fused per-block 10-NN + 8-triangle surface distances.
+
+    cx/cy/cz: [NB, T] voxel-center coordinate planes; px/py/pz: [NB, K]
+    per-block candidate coordinate planes -> (triangle distance [NB, T],
+    10th-NN distance [NB, T]), both float32.
+
+    The XLA path (ops/seeds.py::surface_distance_blocked) round-trips the
+    [NB, T, K] distance tensor through HBM ~10x for the selection rounds
+    plus one-hot gather matmuls (~80 GB per bench cloud — measured
+    0.24 s of the 0.53 s seed stage at N=2048). Here each block's
+    [K, T] matrix stays in VMEM for all 10 rounds and the triangle math;
+    HBM traffic is one read of the coords and one write of the two
+    results (~0.13 GB). Distances use pairwise_sqdist's exact f32
+    formula as elementwise VPU ops — no MXU dot is issued anywhere, so
+    Mosaic's f32-dot-as-bf16-pass lowering (the round-2 seed-kernel
+    bug) cannot perturb them.
+    """
+    nb, t = cx.shape
+    k = px.shape[1]
+    g = max(1, min(gblocks, nb))
+    padb = (-nb) % g
+    if padb:
+        def padb_(a):
+            return jnp.pad(a, ((0, padb), (0, 0)))
+        cx, cy, cz = padb_(cx), padb_(cy), padb_(cz)
+        px, py, pz = padb_(px), padb_(py), padb_(pz)
+    grid = (cx.shape[0] // g,)
+    space = pltpu.ANY if interpret else pltpu.VMEM
+    spec_c = pl.BlockSpec((g, t), lambda i: (i, 0), memory_space=space)
+    spec_p = pl.BlockSpec((g, k), lambda i: (i, 0), memory_space=space)
+    best, d10 = pl.pallas_call(
+        _make_blocked_kernel(g, k, t),
+        grid=grid,
+        in_specs=[spec_c] * 3 + [spec_p] * 3,
+        out_specs=(spec_c, spec_c),
+        out_shape=(jax.ShapeDtypeStruct(cx.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(cx.shape, jnp.float32)),
+        interpret=interpret,
+    )(cx, cy, cz, px, py, pz)
+    return best[:nb], d10[:nb]
+
+
 # --------------------------------------------------------------- FPS kernel
 def _fps_kernel(nv_ref, x_ref, y_ref, z_ref, out_ref, dmin_ref):
     """VMEM-resident farthest point sampling.

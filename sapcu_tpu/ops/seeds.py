@@ -224,7 +224,8 @@ def _topk10_gather(negd: jax.Array, cd: jax.Array
 
 def surface_distance_blocked(centers_blocked: jax.Array,
                              points: jax.Array,
-                             n_cand: int = 128, block_chunk: int = 1024
+                             n_cand: int = 128, block_chunk: int = 1024,
+                             use_pallas: bool = False
                              ) -> tuple[jax.Array, jax.Array]:
     """Block-candidate surface distances: [NB, T, 3] spatial blocks of
     centers, [N, 3] points -> (distances [NB, T], per-center
@@ -245,6 +246,14 @@ def surface_distance_blocked(centers_blocked: jax.Array,
     is a one-sided cap) may carry wrong distances — callers must either
     ignore them (the BFS never reads unreachable voxels) or fall back,
     so the shortcut is exact-or-rejected, never silently wrong.
+
+    use_pallas=True fuses the 10-NN selection + triangle math per block
+    into a VMEM-resident kernel (pallas_kernels.blocked_nn_triangle_pallas
+    — elementwise f32 distances, no MXU dot, so the Mosaic bf16-pass
+    caveat does not apply). Distance VALUES may differ from the XLA path
+    in the last f32 ulp (different reduction order than the HIGHEST-
+    precision matmul), which can flip exact-tie neighbour selections —
+    the same caveat class as the documented shortlist tie behavior.
     """
     nb, t = centers_blocked.shape[:2]
     pts = points.astype(jnp.float32)
@@ -262,6 +271,18 @@ def surface_distance_blocked(centers_blocked: jax.Array,
     d128sq, cidx = jax.lax.map(cands, bc.reshape(-1, chunk, 3))
     d128 = jnp.sqrt(jnp.maximum(d128sq.reshape(nb), 0.0))
     cand = jnp.take(pts, cidx.reshape(nb, n_cand), axis=0)  # [NB, n_cand, 3]
+
+    if use_pallas:
+        from sapcu_tpu.ops.pallas_kernels import blocked_nn_triangle_pallas
+        cb = centers_blocked.astype(jnp.float32)
+        best, d10 = blocked_nn_triangle_pallas(
+            cb[..., 0], cb[..., 1], cb[..., 2],
+            cand[..., 0], cand[..., 1], cand[..., 2])
+        dbc = jnp.linalg.norm(cb - bc[:, None, :], axis=-1)
+        ok = d10 + dbc <= d128[:, None]
+        if pts.shape[0] <= n_cand:
+            ok = jnp.ones_like(ok)  # shortlist == full set
+        return best, ok
 
     bchunk = min(block_chunk, nb)
     while nb % bchunk:
@@ -304,6 +325,19 @@ def _blocked_dist(points: jax.Array, boxsize: int, cell: float):
             _unblock(ok_b.astype(jnp.float32), boxsize, bs_pad) > 0.5)
 
 
+def _extract_inline(mask: jax.Array, boxsize: int, cell: float, cap: int
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Traceable mask -> (centers [cap, 3], count) compaction body."""
+    flat = mask.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+    z = idx % boxsize
+    y = (idx // boxsize) % boxsize
+    x = idx // (boxsize * boxsize)
+    centers = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) \
+        * cell + 0.5 * cell - 0.5
+    return centers, jnp.sum(flat.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("boxsize", "cap"))
 def extract_seeds(mask: jax.Array, boxsize: int, cell: float,
                   cap: int) -> tuple[jax.Array, jax.Array]:
@@ -313,14 +347,7 @@ def extract_seeds(mask: jax.Array, boxsize: int, cell: float,
     order, matching the C-order voxel enumeration of the host argwhere
     path); pad rows repeat center 0.
     """
-    flat = mask.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
-    z = idx % boxsize
-    y = (idx // boxsize) % boxsize
-    x = idx // (boxsize * boxsize)
-    centers = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) \
-        * cell + 0.5 * cell - 0.5
-    return centers, jnp.sum(flat.astype(jnp.int32))
+    return _extract_inline(mask, boxsize, cell, cap)
 
 
 def _bucket(n: int, base: int = 8192) -> int:
@@ -483,11 +510,11 @@ def _pruned_exact_mask(pts: jax.Array, boxsize: int, cell: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("boxsize", "bcap", "n_cand", "scap",
-                                    "chunk"))
+                                    "chunk", "use_pallas", "ecap"))
 def _shortlist_pass(points: jax.Array, boxsize: int, cell: float,
                     band_lo: float, band_hi: float, bcap: int,
                     n_cand: int, slack_cells: float, scap: int,
-                    chunk: int):
+                    chunk: int, use_pallas: bool = False, ecap: int = 0):
     bs_pad = -(-boxsize // 8) * 8
     nb1 = bs_pad // 8
     pts = points.astype(jnp.float32)
@@ -546,23 +573,22 @@ def _shortlist_pass(points: jax.Array, boxsize: int, cell: float,
     centers_sel = vox_int.astype(jnp.float32) * cell + 0.5 * cell - 0.5
 
     dist_b, ok_b = surface_distance_blocked(centers_sel, pts,
-                                            n_cand=n_cand)
+                                            n_cand=n_cand,
+                                            use_pallas=use_pallas)
 
-    # scatter into the [bs, bs, bs] grid (+inf / uncertified elsewhere);
-    # pad-block duplicates rewrite identical values, edge voxels beyond
-    # boxsize go to a dump slot
-    valid = jnp.all(vox_int < boxsize, axis=-1)              # [bcap, 512]
-    flat = jnp.where(
-        valid,
-        (vox_int[..., 0] * boxsize + vox_int[..., 1]) * boxsize
-        + vox_int[..., 2],
-        boxsize ** 3).reshape(-1)
-    dist = jnp.full((boxsize ** 3 + 1,), jnp.inf, jnp.float32) \
-        .at[flat].set(dist_b.reshape(-1))[:-1] \
-        .reshape(boxsize, boxsize, boxsize)
-    okg = jnp.zeros((boxsize ** 3 + 1,), bool) \
-        .at[flat].set((ok_b & valid).reshape(-1))[:-1] \
-        .reshape(boxsize, boxsize, boxsize)
+    # scatter into the grid (+inf / uncertified elsewhere) as whole-BLOCK
+    # rows into the padded blocked layout, then relayout: a row scatter
+    # of bcap indices + one transpose is far cheaper on TPU than the
+    # bcap*512-element flat scatter it replaces (scatter HLOs serialize
+    # per index). Pad-block duplicates rewrite identical values; voxels
+    # beyond boxsize land in the pad margin _unblock slices away.
+    nb_all = nb1 ** 3
+    dist = _unblock(
+        jnp.full((nb_all, 512), jnp.inf, jnp.float32).at[idx_b].set(dist_b),
+        boxsize, bs_pad)
+    okg = _unblock(
+        jnp.zeros((nb_all, 512), bool).at[idx_b].set(ok_b),
+        boxsize, bs_pad)
 
     mask, reach = _mask_reach_from_dist(points, dist, boxsize, cell,
                                         band_lo, band_hi)
@@ -617,6 +643,15 @@ def _shortlist_pass(points: jax.Array, boxsize: int, cell: float,
     missing = reach & ~okg
     # nm > 0 on exit means 16 rounds were not enough (host loop takes
     # over with dynamically bucketed capacity)
+    if ecap:
+        # fused count + seed extraction: the common path (no missing, no
+        # overflow, count <= ecap) then needs ONE dispatch and ONE stats
+        # pull total — each extra round trip over the stdio tunnel costs
+        # ~15-30 ms (scripts/bench_stages_sc.py; CLAUDE.md)
+        centers, count = _extract_inline(mask, boxsize, cell, ecap)
+        stats = jnp.stack([jnp.sum(missing.astype(jnp.int32)),
+                           overflow.astype(jnp.int32), count])
+        return mask, dist, okg, missing, stats, centers
     stats = jnp.stack([jnp.sum(missing.astype(jnp.int32)),
                        overflow.astype(jnp.int32)])
     return mask, dist, okg, missing, stats
@@ -637,13 +672,14 @@ def _refine_round(points, dist, okg, missing, boxsize: int, cell,
 def _fast_exact_mask(pts: jax.Array, boxsize: int, cell: float,
                      band_lo: float, band_hi: float, chunk: int,
                      bcap: int = 12288, n_cand: int = 64,
-                     slack_cells: float = 3.0, scap: int = 8192):
+                     slack_cells: float = 3.0, scap: int = 8192,
+                     use_pallas: bool = False):
     """Shortlist-exact seed mask (see block comment above)."""
     nb_total = (-(-boxsize // 8)) ** 3
     bcap = min(bcap, nb_total)
     mask, dist, okg, missing, stats = _shortlist_pass(
         pts, boxsize, cell, band_lo, band_hi, bcap, n_cand, slack_cells,
-        scap, chunk)
+        scap, chunk, use_pallas)
     n_miss, overflow = (int(x) for x in np.asarray(stats))
     if overflow:
         return _pruned_exact_mask(pts, boxsize, cell, band_lo, band_hi,
@@ -658,6 +694,58 @@ def _fast_exact_mask(pts: jax.Array, boxsize: int, cell: float,
         n_miss = int(nm)
     # safety net: fall back to the dense grid (never hit in testing)
     return seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+
+
+_SEED_ECAP = 1 << 19  # fixed extraction capacity of the fused pass
+
+
+def _extract_bucketed(mask, boxsize: int, cell: float):
+    count = int(jnp.sum(mask))
+    cap = _bucket(max(count, 1))
+    centers, _ = extract_seeds(mask, boxsize, cell, cap)
+    return centers, count
+
+
+def _fast_exact_seeds(pts: jax.Array, boxsize: int, cell: float,
+                      band_lo: float, band_hi: float, chunk: int,
+                      use_pallas: bool = False, bcap: int = 12288,
+                      n_cand: int = 64, slack_cells: float = 3.0,
+                      scap: int = 8192):
+    """Shortlist-exact path fused down to (centers, count).
+
+    Same math as ``_fast_exact_mask`` + ``extract_seeds``, but the count
+    and the compacted centers come out of the SAME dispatch as the
+    shortlist pass (static capacity ``_SEED_ECAP`` — a power-of-two
+    bucket like the classic path would pick for every dense-cloud seed
+    shell), so the common path costs ONE dispatch + ONE stats pull.
+    Falls back to the mask-based flow on refinement/overflow (rare).
+    """
+    nb_total = (-(-boxsize // 8)) ** 3
+    bcap = min(bcap, nb_total)
+    mask, dist, okg, missing, stats, centers = _shortlist_pass(
+        pts, boxsize, cell, band_lo, band_hi, bcap, n_cand, slack_cells,
+        scap, chunk, use_pallas, _SEED_ECAP)
+    n_miss, overflow, count = (int(x) for x in np.asarray(stats))
+    if overflow:
+        mask = _pruned_exact_mask(pts, boxsize, cell, band_lo, band_hi,
+                                  chunk)
+        return _extract_bucketed(mask, boxsize, cell)
+    refined = False
+    for _ in range(8):  # converges in 0-2 rounds in practice
+        if n_miss == 0:
+            break
+        refined = True
+        mcap = _bucket(n_miss, base=4096)
+        mask, dist, okg, missing, nm = _refine_round(
+            pts, dist, okg, missing, boxsize, cell, band_lo, band_hi,
+            mcap, chunk)
+        n_miss = int(nm)
+    else:
+        # safety net: fall back to the dense grid (never hit in testing)
+        mask = seed_mask(pts, boxsize, cell, band_lo, band_hi, chunk)
+    if refined or count > _SEED_ECAP:
+        return _extract_bucketed(mask, boxsize, cell)
+    return centers, count
 
 
 def generate_seeds_device(points, cell: float = 0.004,
@@ -682,8 +770,13 @@ def generate_seeds_device(points, cell: float = 0.004,
         # on-chip: full 0.78s vs shortlist 1.7s at N=512 — the exact
         # kernel's selection cost scales with N, and sparse clouds need
         # a thick pruning shell), so auto only shortlists dense clouds.
-        mask = _fast_exact_mask(pts, boxsize, cell, band_lo, band_hi,
-                                chunk)
+        # On TPU the blocked kernel runs as the fused VMEM Pallas kernel
+        # by default (SAPCU_PALLAS_BLOCKED=0 for the tiled XLA form).
+        use_pallas = (_on_tpu()
+                      and os.environ.get("SAPCU_PALLAS_BLOCKED", "1")
+                      != "0")
+        return _fast_exact_seeds(pts, boxsize, cell, band_lo, band_hi,
+                                 chunk, use_pallas=use_pallas)
     if mask is None and path == "blocked":
         # Block-candidate path: selection/gather work scales with the 128
         # candidates instead of N, so it wins for large clouds. The

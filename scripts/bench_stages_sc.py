@@ -36,9 +36,7 @@ def main():
     print(f"# backend={jax.default_backend()} dtype={dtype}", flush=True)
 
     def sync(out):
-        leaves = [x for x in jax.tree.leaves(out)
-                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
-                                                            jnp.number)]
+        leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
         return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:4]))
 
     def timeit(label, fn):

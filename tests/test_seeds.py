@@ -117,3 +117,27 @@ def test_shortlist_exact_equals_dense_grid():
         got = np.asarray(sm._fast_exact_mask(
             pts, boxsize, cell, sm.BAND_LO, sm.BAND_HI, 4096, **kw))
         assert (got == dense).all(), f"kwargs={kw}"
+
+
+def test_fast_exact_seeds_matches_mask_plus_extract():
+    """The fused one-dispatch (centers, count) path == the classic
+    mask -> count -> extract flow, on the common path AND through the
+    starved-shortlist refinement fallback."""
+    from sapcu_tpu.ops import seeds as sm
+
+    rng = np.random.default_rng(12)
+    v = rng.normal(size=(256, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = jnp.asarray(v * 0.35)
+    boxsize = 50
+    cell = 1.0 / boxsize
+    mask = sm._fast_exact_mask(pts, boxsize, cell, sm.BAND_LO,
+                               sm.BAND_HI, 4096)
+    want_centers, want_count = sm._extract_bucketed(mask, boxsize, cell)
+    for kw in ({}, {"n_cand": 16}):
+        got_centers, got_count = sm._fast_exact_seeds(
+            pts, boxsize, cell, sm.BAND_LO, sm.BAND_HI, 4096, **kw)
+        assert got_count == want_count, kw
+        np.testing.assert_array_equal(
+            np.asarray(got_centers[:got_count]),
+            np.asarray(want_centers[:want_count]), err_msg=str(kw))
