@@ -144,6 +144,12 @@ def sc_refine(sc_params, sc_state, cloud, seeds, n_valid, cfg_s,
     scripts/eval_fast_vs_exact.py --mode sc.
     """
     cfg = dict(cfg_s)
+    # serving uses the single-pass approx m-NN in the head (see
+    # sc_model.sc_head; SAPCU_SC_HEAD_KNN=exact restores the m-round
+    # exact selection — env is read at trace time, so it is pinned per
+    # compiled program)
+    cfg.setdefault("head_knn",
+                   os.environ.get("SAPCU_SC_HEAD_KNN", "approx"))
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if compute_dtype != "float32":
         sc_params, sc_state = jax.tree.map(
