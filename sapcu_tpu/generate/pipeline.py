@@ -281,13 +281,23 @@ def _outlier_mask_window(pts, valid, threshold, morton_cell, k: int = 30,
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
     def one(i):
-        tile = jax.lax.dynamic_slice_in_dim(spq, i * chunk, chunk)
-        c = jax.lax.dynamic_slice_in_dim(cand, i * chunk,
-                                         chunk + 2 * window)
-        d = ops.pairwise_sqdist(tile, c)              # [chunk, chunk+2w]
-        vals, _ = jax.lax.approx_min_k(d, min(k, chunk + 2 * window),
-                                       recall_target=0.95)
-        return jnp.mean(jnp.sqrt(jnp.maximum(vals, 0.0)), axis=-1)
+        # valid rows sort first (invalid keys are 2^30), so chunks past
+        # the valid count hold only padding: skip their kNN entirely.
+        # This replaces the host-side rcap trimming (which needed the
+        # valid count ON HOST) with a traced bound — the fused serving
+        # path never pulls the seed count to the host.
+        def real(_):
+            tile = jax.lax.dynamic_slice_in_dim(spq, i * chunk, chunk)
+            c = jax.lax.dynamic_slice_in_dim(cand, i * chunk,
+                                             chunk + 2 * window)
+            d = ops.pairwise_sqdist(tile, c)          # [chunk, chunk+2w]
+            vals, _ = jax.lax.approx_min_k(d, min(k, chunk + 2 * window),
+                                           recall_target=0.95)
+            return jnp.mean(jnp.sqrt(jnp.maximum(vals, 0.0)), axis=-1)
+
+        return jax.lax.cond(i * chunk < n_valid, real,
+                            lambda _: jnp.zeros((chunk,), jnp.float32),
+                            operand=None)
 
     n_tiles = (n + pad) // chunk
     avg = jax.lax.map(one, jnp.arange(n_tiles, dtype=jnp.int32))
@@ -424,9 +434,58 @@ class Upsampler:
         cloud = jnp.asarray(data, dtype=jnp.float32)
         if cloud.ndim == 3:
             cloud = cloud[0]
+        if (self.mode == "sc" and self.mesh is None
+                and os.environ.get("SAPCU_FUSED_PIPE", "1") != "0"):
+            res = self._upsample_fused_sc(cloud)
+            if res is not None:
+                return res
         seed_pts, n_seeds = seeds_mod.generate_seeds_device(
             cloud, cell=self.dense_spacing, chunk=self.seed_chunk)
         return self.refine_device(cloud, seed_pts, n_seeds)
+
+    def _upsample_fused_sc(self, cloud_j) -> tuple[jax.Array, int] | None:
+        """Single-sync sc serving path: seeds -> sc refine -> outlier ->
+        compact are all dispatched without reading ANY device scalar, then
+        one batched pull fetches (seed stats, n_keep) together.
+
+        Each host round-trip over the stdio-relayed tunnel costs ~25-30 ms
+        (_prof_outlier.py) and — worse — serialises the host dispatch
+        stream against device progress; the classic path pays two
+        (seed-stats pull, n_keep pull). Every stage here runs at the seed
+        buffer's fixed capacity with a TRACED valid count (sc_refine and
+        the Morton-window outlier both skip padding tiles on device), so
+        no host-side bucketing decision needs the count. Falls back to
+        the classic path (returns None) when the seed pass reports
+        refinement work or overflow — never observed in testing; the
+        shortlist pass refines up to 16 rounds on device first.
+        """
+        out = seeds_mod.generate_seeds_device_async(
+            cloud_j, cell=self.dense_spacing, chunk=self.seed_chunk)
+        if out is None:
+            return None
+        centers, stats = out
+        count = stats[2]
+        moved = self._sc_moved(cloud_j, centers, count)
+        cap = centers.shape[0]
+        valid = jnp.arange(cap) < count
+        # same outlier-rule selection as refine_device (window kNN for
+        # large buffers, full approx scan below it), so fused == classic
+        # bit-for-bit at every size
+        if (cap >= 32768
+                and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
+            keep = _outlier_mask_window(moved, valid,
+                                        self.outlier_threshold,
+                                        4.0 * self.dense_spacing)
+        else:
+            keep = _outlier_mask(moved, valid, self.outlier_threshold,
+                                 approx=True)
+        pts, n_keep = _compact(moved, keep, cap)
+        scalars = np.asarray(jnp.concatenate(
+            [stats, n_keep.reshape(1)]))  # ONE host pull for the cloud
+        n_miss, overflow, n_seeds, nk = (int(x) for x in scalars)
+        if n_miss == 0 and not overflow and n_seeds <= cap and n_seeds > 0:
+            return pts, nk
+        return None
 
     def upsample_to(self, data, target_points: int) -> jax.Array:
         """Pipeline + on-device FPS to target_points -> [target, 3] device

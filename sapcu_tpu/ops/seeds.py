@@ -40,6 +40,7 @@ Documented divergences from dense.cpp (SURVEY.md §7 quirk ledger):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -789,6 +790,40 @@ def _fast_exact_seeds(pts: jax.Array, boxsize: int, cell: float,
     if refined or count > _SEED_ECAP:
         return _extract_bucketed(mask, boxsize, cell)
     return centers, count
+
+
+def generate_seeds_device_async(points, cell: float = 0.004,
+                                band_lo: float = BAND_LO,
+                                band_hi: float = BAND_HI,
+                                chunk: int = 8192):
+    """Shortlist-exact seeds with NO host synchronisation.
+
+    Returns (centers [_SEED_ECAP, 3], stats int32[3]) as DEVICE arrays,
+    where stats = (n_missing, overflow, count) from the fused shortlist
+    pass, or None when the cloud is outside the shortlist regime
+    (N <= 1024, or SAPCU_SEEDS_PATH forces another path).
+
+    Callers MUST validate ``stats`` (n_missing == 0, overflow == 0,
+    count <= _SEED_ECAP) before trusting ``centers`` — on violation
+    (never observed in testing; the pass refines up to 16 rounds on
+    device) fall back to ``generate_seeds_device``. The point: each
+    host round-trip over the stdio-relayed tunnel costs ~25-30 ms
+    (_prof_outlier.py), so the serving pipeline defers ALL scalar pulls
+    to one batched pull after the last stage is dispatched.
+    """
+    boxsize = int(round(1.0 / cell))
+    pts = jnp.asarray(points, dtype=jnp.float32)
+    path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
+    if not (path == "shortlist"
+            or (path == "auto" and pts.shape[0] > 1024)):
+        return None
+    use_pallas = (_on_tpu()
+                  and os.environ.get("SAPCU_PALLAS_BLOCKED", "1") != "0")
+    nb_total = (-(-boxsize // 8)) ** 3
+    _, _, _, _, stats, centers = _shortlist_pass(
+        pts, boxsize, cell, band_lo, band_hi, min(12288, nb_total), 64,
+        3.0, 8192, chunk, use_pallas, _SEED_ECAP)
+    return centers, stats
 
 
 def generate_seeds_device(points, cell: float = 0.004,

@@ -201,6 +201,30 @@ def test_sc_refine_pad_skip_matches_full():
                                   np.asarray(seeds[128:]))
 
 
+def test_sc_fused_single_sync_matches_classic(monkeypatch):
+    """The single-host-sync fused sc path (seeds stats stay on device,
+    outlier/compact run at fixed capacity with a traced count, one
+    batched scalar pull) must produce the classic path's output
+    bit-for-bit."""
+    from sapcu_tpu.ops import seeds as seeds_mod
+
+    # shrink the fixed extraction capacity so the CPU compiles stay tiny;
+    # the dispatch logic under test is capacity-independent
+    monkeypatch.setattr(seeds_mod, "_SEED_ECAP", 8192)
+    up = _sc_upsampler()
+    cloud = _sphere(2048)  # > 1024 points engages the shortlist seeds
+
+    res = up._upsample_fused_sc(jnp.asarray(cloud))
+    assert res is not None, "fused path unexpectedly fell back"
+    pts_f, n_f = res
+
+    monkeypatch.setenv("SAPCU_FUSED_PIPE", "0")
+    pts_c, n_c = up.upsample_device(cloud)
+    assert n_f == n_c > 0
+    np.testing.assert_array_equal(np.asarray(pts_f[:n_f]),
+                                  np.asarray(pts_c[:n_c]))
+
+
 def test_sc_mode_sharded_matches_single():
     from sapcu_tpu import parallel
 
