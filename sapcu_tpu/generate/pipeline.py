@@ -308,6 +308,14 @@ def _outlier_mask_window(pts, valid, threshold, morton_cell, k: int = 30,
     return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 
+# Row count above which the serving modes switch the outlier rule from
+# the full approx scan to the Morton-window kNN (the O(N^2) scan is pure
+# HBM traffic past this size). Shared by refine_device and the fused sc
+# path — the fused path falls back to classic below it so both always
+# apply the same rule.
+_WINDOW_MIN_ROWS = 32768
+
+
 def _bucket(n: int, base: int = 8192) -> int:
     cap = base
     while cap < n:
@@ -449,7 +457,7 @@ class Upsampler:
         one batched pull fetches (seed stats, n_keep) together.
 
         Each host round-trip over the stdio-relayed tunnel costs ~25-30 ms
-        (_prof_outlier.py) and — worse — serialises the host dispatch
+        (scripts/prof/_prof_outlier.py) and — worse — serialises the host dispatch
         stream against device progress; the classic path pays two
         (seed-stats pull, n_keep pull). Every stage here runs at the seed
         buffer's fixed capacity with a TRACED valid count (sc_refine and
@@ -468,11 +476,14 @@ class Upsampler:
         moved = self._sc_moved(cloud_j, centers, count)
         cap = centers.shape[0]
         valid = jnp.arange(cap) < count
-        # same outlier-rule selection as refine_device (window kNN for
-        # large buffers, full approx scan below it), so fused == classic
-        # bit-for-bit at every size
-        if (cap >= 32768
-                and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
+        # The fused dispatch must pick the outlier rule BEFORE the seed
+        # count is known on host, so it always uses the window kNN (the
+        # production regime: dense clouds -> >=32k seeds). refine_device
+        # picks by the count-derived rcap; the small-count case where the
+        # rules would differ falls back to the classic path below, so
+        # fused output == classic output at every size.
+        window = os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"
+        if window:
             keep = _outlier_mask_window(moved, valid,
                                         self.outlier_threshold,
                                         4.0 * self.dense_spacing)
@@ -483,9 +494,16 @@ class Upsampler:
         scalars = np.asarray(jnp.concatenate(
             [stats, n_keep.reshape(1)]))  # ONE host pull for the cloud
         n_miss, overflow, n_seeds, nk = (int(x) for x in scalars)
-        if n_miss == 0 and not overflow and n_seeds <= cap and n_seeds > 0:
-            return pts, nk
-        return None
+        if not (n_miss == 0 and not overflow and 0 < n_seeds <= cap):
+            return None
+        if window and n_seeds < _WINDOW_MIN_ROWS:
+            # Small clouds: refine_device's count-derived rcap would pick
+            # the full approx scan, not the window. Re-run the classic
+            # path from the already-generated seeds (no seed recompute)
+            # so the two paths never silently serve different outputs.
+            return self.refine_device(cloud_j, centers[:_bucket(n_seeds)],
+                                      n_seeds)
+        return pts, nk
 
     def upsample_to(self, data, target_points: int) -> jax.Array:
         """Pipeline + on-device FPS to target_points -> [target, 3] device
@@ -648,7 +666,7 @@ class Upsampler:
             # variants at 8 per bucket while cutting the work up to ~4x
             gran = max(8192, cap // 8)
             rcap = min(cap, -(-n_seeds // gran) * gran)
-            if (self.mode != "exact" and rcap >= 32768
+            if (self.mode != "exact" and rcap >= _WINDOW_MIN_ROWS
                     and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
                 # large clouds: the O(N^2) scan is pure HBM traffic
                 # (2.97 s of a 3.8 s sc cloud at 524k rows) — use the

@@ -52,6 +52,28 @@ from sapcu_tpu.ops.pointops import (pairwise_sqdist, point_triangle_closest,
 BAND_LO = 0.0110
 BAND_HI = 0.0150
 
+# Shortlist-path tuning constants, shared by every entry point
+# (_fast_exact_seeds / _fast_exact_mask / generate_seeds_device_async).
+# Fused/classic parity REQUIRES identical values — do not override one
+# call site without the others.
+SHORTLIST_BCAP = 12288     # active-block capacity (overflow -> pruned path)
+SHORTLIST_NCAND = 64       # per-block candidate shortlist size
+SHORTLIST_SLACK = 3.0      # pruning slack in cells (exactness via refinement)
+SHORTLIST_SCAP = 8192      # speculative on-device refinement capacity
+
+
+def _shortlist_selected(n_points: int) -> bool:
+    """The SAPCU_SEEDS_PATH gate shared by the sync and async entry
+    points: shortlist-exact for dense clouds (auto, N > 1024 — below
+    that the dense grid wins outright, measured on-chip), or forced."""
+    path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
+    return path == "shortlist" or (path == "auto" and n_points > 1024)
+
+
+def _shortlist_use_pallas() -> bool:
+    return (_on_tpu()
+            and os.environ.get("SAPCU_PALLAS_BLOCKED", "1") != "0")
+
 
 def _on_tpu() -> bool:
     try:
@@ -715,8 +737,9 @@ def _refine_round(points, dist, okg, missing, boxsize: int, cell,
 
 def _fast_exact_mask(pts: jax.Array, boxsize: int, cell: float,
                      band_lo: float, band_hi: float, chunk: int,
-                     bcap: int = 12288, n_cand: int = 64,
-                     slack_cells: float = 3.0, scap: int = 8192,
+                     bcap: int = SHORTLIST_BCAP, n_cand: int = SHORTLIST_NCAND,
+                     slack_cells: float = SHORTLIST_SLACK,
+                     scap: int = SHORTLIST_SCAP,
                      use_pallas: bool = False):
     """Shortlist-exact seed mask (see block comment above)."""
     nb_total = (-(-boxsize // 8)) ** 3
@@ -752,9 +775,10 @@ def _extract_bucketed(mask, boxsize: int, cell: float):
 
 def _fast_exact_seeds(pts: jax.Array, boxsize: int, cell: float,
                       band_lo: float, band_hi: float, chunk: int,
-                      use_pallas: bool = False, bcap: int = 12288,
-                      n_cand: int = 64, slack_cells: float = 3.0,
-                      scap: int = 8192):
+                      use_pallas: bool = False, bcap: int = SHORTLIST_BCAP,
+                      n_cand: int = SHORTLIST_NCAND,
+                      slack_cells: float = SHORTLIST_SLACK,
+                      scap: int = SHORTLIST_SCAP):
     """Shortlist-exact path fused down to (centers, count).
 
     Same math as ``_fast_exact_mask`` + ``extract_seeds``, but the count
@@ -808,21 +832,18 @@ def generate_seeds_device_async(points, cell: float = 0.004,
     (never observed in testing; the pass refines up to 16 rounds on
     device) fall back to ``generate_seeds_device``. The point: each
     host round-trip over the stdio-relayed tunnel costs ~25-30 ms
-    (_prof_outlier.py), so the serving pipeline defers ALL scalar pulls
+    (scripts/prof/_prof_outlier.py), so the serving pipeline defers ALL scalar pulls
     to one batched pull after the last stage is dispatched.
     """
     boxsize = int(round(1.0 / cell))
     pts = jnp.asarray(points, dtype=jnp.float32)
-    path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
-    if not (path == "shortlist"
-            or (path == "auto" and pts.shape[0] > 1024)):
+    if not _shortlist_selected(pts.shape[0]):
         return None
-    use_pallas = (_on_tpu()
-                  and os.environ.get("SAPCU_PALLAS_BLOCKED", "1") != "0")
     nb_total = (-(-boxsize // 8)) ** 3
     _, _, _, _, stats, centers = _shortlist_pass(
-        pts, boxsize, cell, band_lo, band_hi, min(12288, nb_total), 64,
-        3.0, 8192, chunk, use_pallas, _SEED_ECAP)
+        pts, boxsize, cell, band_lo, band_hi,
+        min(SHORTLIST_BCAP, nb_total), SHORTLIST_NCAND, SHORTLIST_SLACK,
+        SHORTLIST_SCAP, chunk, _shortlist_use_pallas(), _SEED_ECAP)
     return centers, stats
 
 
@@ -843,18 +864,12 @@ def generate_seeds_device(points, cell: float = 0.004,
     # clouds, dense grid for sparse ones, with pruned/full fallbacks) |
     # shortlist | pruned | blocked | full.
     path = os.environ.get("SAPCU_SEEDS_PATH", "auto")
-    if path == "shortlist" or (path == "auto" and pts.shape[0] > 1024):
-        # Below ~1k points the dense grid wins outright (measured
-        # on-chip: full 0.78s vs shortlist 1.7s at N=512 — the exact
-        # kernel's selection cost scales with N, and sparse clouds need
-        # a thick pruning shell), so auto only shortlists dense clouds.
-        # On TPU the blocked kernel runs as the fused VMEM Pallas kernel
-        # by default (SAPCU_PALLAS_BLOCKED=0 for the tiled XLA form).
-        use_pallas = (_on_tpu()
-                      and os.environ.get("SAPCU_PALLAS_BLOCKED", "1")
-                      != "0")
+    if _shortlist_selected(pts.shape[0]):
+        # Path-selection rationale lives in _shortlist_selected; on TPU
+        # the blocked kernel runs as the fused VMEM Pallas kernel by
+        # default (SAPCU_PALLAS_BLOCKED=0 for the tiled XLA form).
         return _fast_exact_seeds(pts, boxsize, cell, band_lo, band_hi,
-                                 chunk, use_pallas=use_pallas)
+                                 chunk, use_pallas=_shortlist_use_pallas())
     if mask is None and path == "blocked":
         # Block-candidate path: selection/gather work scales with the 128
         # candidates instead of N, so it wins for large clouds. The

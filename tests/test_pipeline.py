@@ -205,17 +205,46 @@ def test_sc_fused_single_sync_matches_classic(monkeypatch):
     """The single-host-sync fused sc path (seeds stats stay on device,
     outlier/compact run at fixed capacity with a traced count, one
     batched scalar pull) must produce the classic path's output
-    bit-for-bit."""
+    bit-for-bit — in the PRODUCTION regime where both paths pick the
+    Morton-window outlier rule."""
+    from sapcu_tpu.generate import pipeline as pl
     from sapcu_tpu.ops import seeds as seeds_mod
 
     # shrink the fixed extraction capacity so the CPU compiles stay tiny;
-    # the dispatch logic under test is capacity-independent
+    # the dispatch logic under test is capacity-independent. Lower the
+    # window threshold below the seed count so this exercises the
+    # production rule-selection (window kNN on both paths), not only the
+    # small-buffer full-scan branch.
     monkeypatch.setattr(seeds_mod, "_SEED_ECAP", 8192)
+    monkeypatch.setattr(pl, "_WINDOW_MIN_ROWS", 1024)
     up = _sc_upsampler()
     cloud = _sphere(2048)  # > 1024 points engages the shortlist seeds
 
     res = up._upsample_fused_sc(jnp.asarray(cloud))
     assert res is not None, "fused path unexpectedly fell back"
+    pts_f, n_f = res
+
+    monkeypatch.setenv("SAPCU_FUSED_PIPE", "0")
+    pts_c, n_c = up.upsample_device(cloud)
+    assert n_f == n_c > 0
+    np.testing.assert_array_equal(np.asarray(pts_f[:n_f]),
+                                  np.asarray(pts_c[:n_c]))
+
+
+def test_sc_fused_small_count_serves_classic_rule(monkeypatch):
+    """Seed counts below _WINDOW_MIN_ROWS: refine_device picks the full
+    approx outlier scan, so the fused path (which must commit to the
+    window rule before the count is known) has to fall back to classic
+    rather than silently serve a different rule."""
+    from sapcu_tpu.ops import seeds as seeds_mod
+
+    monkeypatch.setattr(seeds_mod, "_SEED_ECAP", 8192)
+    # _WINDOW_MIN_ROWS stays at its production value (32768), far above
+    # this cloud's seed count -> the count gate must trigger
+    up = _sc_upsampler()
+    cloud = _sphere(2048)
+    res = up._upsample_fused_sc(jnp.asarray(cloud))
+    assert res is not None
     pts_f, n_f = res
 
     monkeypatch.setenv("SAPCU_FUSED_PIPE", "0")
