@@ -24,8 +24,8 @@ Env: BENCH_BATCH (default 1024 — the tuned refine chunk), BENCH_DTYPE
 the flagship serving mode: quality-gated on GT-Chamfer parity with the
 exact path using trained weights (scripts/quality_gate.py →
 out/metrics/quality_gate.json; sc beats exact's CD vs dense GT on the
-sweep) plus the resolution-floor proximity diagnostic in
-out/metrics/fast_gate.jsonl),
+sweep); scripts/eval_fast_vs_exact.py remains available as a
+resolution-floor-normalized proximity diagnostic),
 BENCH_ALSO_FAST (default 1 in sc mode: stamp a fast-mode e2e number too),
 BENCH_WEIGHTS (checkpoint dir with model_best.pt pair; default
 out/release if present, else random init — same FLOPs either way).
@@ -147,7 +147,7 @@ def main():
     # steady state: time full pipeline end-to-end (seeds + refine + filter).
     # Reps rotate the SAME cloud (fixed seed-count bucket -> no recompiles;
     # rotation shifts the voxel grid so the work is not cached).
-    reps = int(os.environ.get("BENCH_REPS", 1))
+    reps = int(os.environ.get("BENCH_REPS", 3))
     t0 = time.time()
     n_out = 0
     for i in range(1, reps + 1):
@@ -159,6 +159,27 @@ def main():
         _record(n_out / (time.time() - t0), f"steady_{i}/{reps}")
     dt = time.time() - t0
     _record(n_out / dt, "done")
+
+    # the user-facing 4x PRODUCT (reference generate.py:95-99): the shell
+    # FPS-downsampled to 4x the input count. One rep: pipeline + on-device
+    # FPS to 8192, synced by a 4-byte scalar pull (block_until_ready is a
+    # no-op under the axon tunnel).
+    import jax.numpy as jnp
+    from sapcu_tpu.generate.pipeline import _fps_select
+    target = 4 * cloud.shape[0]
+    rot = np.float32([[np.cos(7), -np.sin(7), 0],
+                      [np.sin(7), np.cos(7), 0], [0, 0, 1]])
+    t0 = time.time()
+    pts, n = up.upsample_device(cloud @ rot.T)
+    t_pipe = time.time() - t0
+    t0 = time.time()
+    sel = _fps_select(pts, jnp.asarray(n), target)
+    float(jnp.sum(sel))                      # device sync
+    fps_s = time.time() - t0
+    _record(_result["value"], "done", fps_s=round(fps_s, 3),
+            pts_per_s_4x_product=round(target / (t_pipe + fps_s), 1))
+    print(f"# 4x product: pipeline {t_pipe:.2f}s + fps {fps_s:.2f}s -> "
+          f"{target / (t_pipe + fps_s):.0f} pts/s", file=sys.stderr)
 
     # comparison point: one fast-mode e2e rep (same weights/dtype), so
     # the artifact carries both serving modes

@@ -30,6 +30,11 @@ def main():
     p.add_argument("--gt_path", required=True)
     p.add_argument("--emd", action="store_true",
                    help="also compute Sinkhorn EMD (slower)")
+    p.add_argument("--emd-max-points", type=int, default=4096,
+                   help="FPS-downsample both clouds to at most this many "
+                        "points for the EMD column (the [N, M] Sinkhorn "
+                        "kernel is quadratic; 4096^2 keeps it tractable "
+                        "on CPU). CD/HD/F-score always use full clouds.")
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
@@ -46,7 +51,16 @@ def main():
         per_file[f] = {"cd": float(0.5 * (g2p.mean() + p2g.mean())),
                        "hausdorff": float(max(g2p.max(), p2g.max()))}
         if args.emd:
-            e = float(M.sinkhorn_emd(jnp.asarray(gt), jnp.asarray(pre)))
+            from sapcu_tpu.ops.pointops import farthest_point_sample
+            cap = args.emd_max_points
+            gt_e, pre_e = gt, pre
+            if gt_e.shape[0] > cap:
+                gt_e = gt_e[np.asarray(farthest_point_sample(
+                    jnp.asarray(gt_e), cap))]
+            if pre_e.shape[0] > cap:
+                pre_e = pre_e[np.asarray(farthest_point_sample(
+                    jnp.asarray(pre_e), cap))]
+            e = float(M.sinkhorn_emd(jnp.asarray(gt_e), jnp.asarray(pre_e)))
             emds.append(e)
             per_file[f]["emd_sinkhorn"] = e
 

@@ -109,7 +109,7 @@ def main():
 
         cd_json = os.path.join(work, f"cd_{n}_{args.mode}.json")
         run([sys.executable, "scripts/evaluation_cd.py", "--pre_path",
-             out_dir, "--gt_path", gt_dir, "--json-out", cd_json],
+             out_dir, "--gt_path", gt_dir, "--json-out", cd_json, "--emd"],
             env_extra={"JAX_PLATFORMS": "cpu"})
         in_json = os.path.join(work, f"cd_input_{n}.json")
         run([sys.executable, "scripts/evaluation_cd.py", "--pre_path",
