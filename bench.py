@@ -146,19 +146,35 @@ def main():
 
     # steady state: time full pipeline end-to-end (seeds + refine + filter).
     # Reps rotate the SAME cloud (fixed seed-count bucket -> no recompiles;
-    # rotation shifts the voxel grid so the work is not cached).
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    t0 = time.time()
-    n_out = 0
-    for i in range(1, reps + 1):
+    # rotation shifts the voxel grid so the work is not cached). The loop
+    # keeps TWO clouds in flight (upsample_device_async/resolve): cloud
+    # i+1's dispatch overlaps cloud i's single host pull, so throughput
+    # measures device compute, not tunnel latency — the streaming serving
+    # scenario.
+    reps = int(os.environ.get("BENCH_REPS", 6))
+
+    def rotc(i):
         rot = np.float32([[np.cos(i), -np.sin(i), 0],
                           [np.sin(i), np.cos(i), 0], [0, 0, 1]])
-        pts, n = up.upsample_device(cloud @ rot.T)
-        pts.block_until_ready()
+        return cloud @ rot.T
+
+    t0 = time.time()
+    n_out = 0
+    handle = up.upsample_device_async(rotc(1))
+    for i in range(1, reps + 1):
+        nxt = up.upsample_device_async(rotc(i + 1)) if i < reps else None
+        pts, n = up.upsample_device_resolve(handle)
+        handle = nxt
         n_out += n
         _record(n_out / (time.time() - t0), f"steady_{i}/{reps}")
     dt = time.time() - t0
     _record(n_out / dt, "done")
+    # one sequential rep for the per-cloud latency figure
+    t0 = time.time()
+    pts, n = up.upsample_device(rotc(reps + 1))
+    seq_s = time.time() - t0
+    _record(_result["value"], "done", seq_pts_per_s=round(n / seq_s, 1),
+            seq_cloud_ms=round(seq_s * 1000, 1))
 
     # the user-facing 4x PRODUCT (reference generate.py:95-99): the shell
     # FPS-downsampled to 4x the input count. One rep: pipeline + on-device
@@ -167,10 +183,10 @@ def main():
     import jax.numpy as jnp
     from sapcu_tpu.generate.pipeline import _fps_select
     target = 4 * cloud.shape[0]
-    rot = np.float32([[np.cos(7), -np.sin(7), 0],
-                      [np.sin(7), np.cos(7), 0], [0, 0, 1]])
+    # warm the FPS program (compile/executable-load is ~3 s cold)
+    _ = float(jnp.sum(_fps_select(pts, jnp.asarray(n), target)))
     t0 = time.time()
-    pts, n = up.upsample_device(cloud @ rot.T)
+    pts, n = up.upsample_device(rotc(reps + 2))
     t_pipe = time.time() - t0
     t0 = time.time()
     sel = _fps_select(pts, jnp.asarray(n), target)

@@ -451,22 +451,11 @@ class Upsampler:
             cloud, cell=self.dense_spacing, chunk=self.seed_chunk)
         return self.refine_device(cloud, seed_pts, n_seeds)
 
-    def _upsample_fused_sc(self, cloud_j) -> tuple[jax.Array, int] | None:
-        """Single-sync sc serving path: seeds -> sc refine -> outlier ->
-        compact are all dispatched without reading ANY device scalar, then
-        one batched pull fetches (seed stats, n_keep) together.
-
-        Each host round-trip over the stdio-relayed tunnel costs ~25-30 ms
-        (scripts/prof/_prof_outlier.py) and — worse — serialises the host dispatch
-        stream against device progress; the classic path pays two
-        (seed-stats pull, n_keep pull). Every stage here runs at the seed
-        buffer's fixed capacity with a TRACED valid count (sc_refine and
-        the Morton-window outlier both skip padding tiles on device), so
-        no host-side bucketing decision needs the count. Falls back to
-        the classic path (returns None) when the seed pass reports
-        refinement work or overflow — never observed in testing; the
-        shortlist pass refines up to 16 rounds on device first.
-        """
+    def _fused_sc_dispatch(self, cloud_j):
+        """Dispatch half of the fused sc path: enqueue seeds -> sc refine
+        -> outlier -> compact WITHOUT reading any device scalar. Returns
+        (cloud, centers, pts, scalars_dev) device handles, or None when
+        the cloud is outside the fused regime."""
         out = seeds_mod.generate_seeds_device_async(
             cloud_j, cell=self.dense_spacing, chunk=self.seed_chunk)
         if out is None:
@@ -480,8 +469,8 @@ class Upsampler:
         # count is known on host, so it always uses the window kNN (the
         # production regime: dense clouds -> >=32k seeds). refine_device
         # picks by the count-derived rcap; the small-count case where the
-        # rules would differ falls back to the classic path below, so
-        # fused output == classic output at every size.
+        # rules would differ falls back to the classic path at resolve
+        # time, so fused output == classic output at every size.
         window = os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"
         if window:
             keep = _outlier_mask_window(moved, valid,
@@ -491,9 +480,17 @@ class Upsampler:
             keep = _outlier_mask(moved, valid, self.outlier_threshold,
                                  approx=True)
         pts, n_keep = _compact(moved, keep, cap)
-        scalars = np.asarray(jnp.concatenate(
-            [stats, n_keep.reshape(1)]))  # ONE host pull for the cloud
+        scalars = jnp.concatenate([stats, n_keep.reshape(1)])
+        return cloud_j, centers, pts, scalars, window
+
+    def _fused_sc_resolve(self, handle) -> tuple[jax.Array, int] | None:
+        """Pull the fused dispatch's batched scalars (ONE host round-trip)
+        and validate; falls back to the classic path (returns its result)
+        on refinement/overflow or the small-count outlier-rule case."""
+        cloud_j, centers, pts, scalars_dev, window = handle
+        scalars = np.asarray(scalars_dev)  # the single pull for the cloud
         n_miss, overflow, n_seeds, nk = (int(x) for x in scalars)
+        cap = centers.shape[0]
         if not (n_miss == 0 and not overflow and 0 < n_seeds <= cap):
             return None
         if window and n_seeds < _WINDOW_MIN_ROWS:
@@ -504,6 +501,62 @@ class Upsampler:
             return self.refine_device(cloud_j, centers[:_bucket(n_seeds)],
                                       n_seeds)
         return pts, nk
+
+    def _upsample_fused_sc(self, cloud_j) -> tuple[jax.Array, int] | None:
+        """Single-sync sc serving path: seeds -> sc refine -> outlier ->
+        compact are all dispatched without reading ANY device scalar, then
+        one batched pull fetches (seed stats, n_keep) together.
+
+        Each host round-trip over the stdio-relayed tunnel costs ~25-30 ms
+        (scripts/prof/_prof_outlier.py) and — worse — serialises the host
+        dispatch stream against device progress; the classic path pays two
+        (seed-stats pull, n_keep pull). Every stage here runs at the seed
+        buffer's fixed capacity with a TRACED valid count (sc_refine and
+        the Morton-window outlier both skip padding tiles on device), so
+        no host-side bucketing decision needs the count. Falls back to
+        the classic path (returns None) when the seed pass reports
+        refinement work or overflow — never observed in testing; the
+        shortlist pass refines up to 16 rounds on device first.
+        """
+        handle = self._fused_sc_dispatch(cloud_j)
+        if handle is None:
+            return None
+        return self._fused_sc_resolve(handle)
+
+    def upsample_device_async(self, data):
+        """Dispatch a cloud's full pipeline without waiting; returns an
+        opaque handle for ``upsample_device_resolve``.
+
+        Streaming serving: dispatching cloud i+1 BEFORE resolving cloud i
+        keeps the device queue full across the ~25-30 ms host round-trip
+        that resolve pays on the stdio-relayed tunnel (and across the
+        host-side dispatch work itself), hiding both behind device
+        compute. Outside the fused-sc regime this degrades to the
+        synchronous path (the classic flow needs the seed count on host
+        to pick bucket sizes)."""
+        cloud = jnp.asarray(data, dtype=jnp.float32)
+        if cloud.ndim == 3:
+            cloud = cloud[0]
+        if (self.mode == "sc" and self.mesh is None
+                and os.environ.get("SAPCU_FUSED_PIPE", "1") != "0"):
+            handle = self._fused_sc_dispatch(cloud)
+            if handle is not None:
+                return ("fused", handle)
+        return ("sync", self.upsample_device(cloud))
+
+    def upsample_device_resolve(self, handle) -> tuple[jax.Array, int]:
+        kind, payload = handle
+        if kind == "sync":
+            return payload
+        res = self._fused_sc_resolve(payload)
+        if res is not None:
+            return res
+        # rare fallback: the fused pass reported refinement/overflow —
+        # rerun the cloud through the classic path
+        cloud_j = payload[0]
+        seed_pts, n_seeds = seeds_mod.generate_seeds_device(
+            cloud_j, cell=self.dense_spacing, chunk=self.seed_chunk)
+        return self.refine_device(cloud_j, seed_pts, n_seeds)
 
     def upsample_to(self, data, target_points: int) -> jax.Array:
         """Pipeline + on-device FPS to target_points -> [target, 3] device
