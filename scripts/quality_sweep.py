@@ -55,6 +55,8 @@ def main():
     p.add_argument("--sizes", default="256,512,1024,2048")
     p.add_argument("--ratio", type=int, default=4)
     p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--passes", type=int, default=1,
+                   help="multi-pass upsampling (generate.py --passes)")
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--work", default="out/quality")
@@ -75,14 +77,15 @@ def main():
 
     report = {"mode": args.mode,
               "weights": "random" if args.random_weights else args.weights,
-              "ratio": args.ratio, "meshes": [os.path.basename(m)
-                                              for m in meshes],
+              "ratio": args.ratio, "passes": args.passes,
+              "meshes": [os.path.basename(m) for m in meshes],
               "per_size": {}}
 
+    tag = args.mode + (f"_p{args.passes}" if args.passes > 1 else "")
     for n in sizes:
         in_dir = os.path.join(work, f"in_{n}")
         gt_dir = os.path.join(work, f"gt_{n}")
-        out_dir = os.path.join(work, f"out_{n}_{args.mode}")
+        out_dir = os.path.join(work, f"out_{n}_{tag}")
         for d in (in_dir, gt_dir, out_dir):
             os.makedirs(d, exist_ok=True)
         for m in meshes:
@@ -98,7 +101,8 @@ def main():
                "--fn-config", args.fn_config, "--fd-config", args.fd_config,
                "--sc-config", args.sc_config, "--mode", args.mode,
                "--batch-size", str(args.batch_size),
-               "--compute-dtype", args.compute_dtype]
+               "--compute-dtype", args.compute_dtype,
+               "--passes", str(args.passes)]
         if args.random_weights:
             cmd.append("--random-weights")
         else:
@@ -107,7 +111,7 @@ def main():
                     "--sc-dir", os.path.join(args.weights, "sc")]
         run(cmd)
 
-        cd_json = os.path.join(work, f"cd_{n}_{args.mode}.json")
+        cd_json = os.path.join(work, f"cd_{n}_{tag}.json")
         run([sys.executable, "scripts/evaluation_cd.py", "--pre_path",
              out_dir, "--gt_path", gt_dir, "--json-out", cd_json, "--emd"],
             env_extra={"JAX_PLATFORMS": "cpu"})
@@ -117,7 +121,7 @@ def main():
             env_extra={"JAX_PLATFORMS": "cpu"})
         # point-to-mesh: noise-free quality (CD's floor is the GT
         # sampling density; distance to the true surface is not)
-        p2m_json = os.path.join(work, f"p2m_{n}_{args.mode}.json")
+        p2m_json = os.path.join(work, f"p2m_{n}_{tag}.json")
         p2m_in_json = os.path.join(work, f"p2m_input_{n}.json")
         run([sys.executable, "scripts/evaluation_p2m.py", "--pred-dir",
              out_dir, "--mesh-dir", args.meshes, "--json-out", p2m_json],
@@ -145,7 +149,7 @@ def main():
 
     cds = [v["upsampled"].get("cd") for v in report["per_size"].values()]
     report["mean_cd"] = float(np.mean([c for c in cds if c is not None]))
-    out = args.json_out or os.path.join(work, f"quality_{args.mode}.json")
+    out = args.json_out or os.path.join(work, f"quality_{tag}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
