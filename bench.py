@@ -120,6 +120,21 @@ def main():
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     cloud = (v * 0.42).astype(np.float32)
 
+    # program-count/size budget (VERDICT r3 weak #5): warmup cost is
+    # executable LOAD over the stdio tunnel, so it scales with how many
+    # distinct programs the serving path needs and their serialized size.
+    # Stamp both so regressions are visible in the bench artifact.
+    def _cache_stats():
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+        try:
+            files = [os.path.join(d, f) for f in os.listdir(d)]
+            return len(files), sum(os.path.getsize(f) for f in files)
+        except OSError:
+            return 0, 0
+
+    progs0, bytes0 = _cache_stats()
+
     # warmup: compiles seed kernel, refine chunk, outlier kernel (or loads
     # them from .jax_cache). The pipeline is device-resident; only point
     # COUNTS cross the (slow stdio-relayed) tunnel, so timings measure
@@ -130,7 +145,10 @@ def main():
     pts.block_until_ready()
     warm = time.time() - t0
     print(f"# warmup: {n} pts in {warm:.1f}s", file=sys.stderr)
-    _record(n / warm, "warmup", warmup_s=round(warm, 1))
+    progs1, bytes1 = _cache_stats()
+    _record(n / warm, "warmup", warmup_s=round(warm, 1),
+            cache_programs=progs1, cache_mb=round(bytes1 / 1e6, 1),
+            cache_new_programs=progs1 - progs0)
 
     # refine-only throughput (seeds held fixed, the dominant stage)
     from sapcu_tpu.ops import seeds as seeds_mod
@@ -210,6 +228,14 @@ def main():
         pts.block_until_ready()
         _record(_result["value"], "done",
                 fast_pts_per_s=round(n / (time.time() - t0), 1))
+
+    # final program budget: everything this bench run needed (seeds,
+    # refine, outlier, FPS, fast-mode variant). cache_new_programs > 0 on
+    # a committed-warm cache means the serving path grew a program.
+    progs1, bytes1 = _cache_stats()
+    _record(_result["value"], "done",
+            cache_programs=progs1, cache_mb=round(bytes1 / 1e6, 1),
+            cache_new_programs=progs1 - progs0)
 
     _done.set()
     _emit_and_exit()
