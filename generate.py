@@ -120,6 +120,10 @@ def main():
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="bfloat16 runs the models at 2x MXU rate")
+    p.add_argument("--refine-steps", type=int, default=1,
+                   help="iterated distance steps: re-query the move at the "
+                        "moved points, conditioning on the ORIGINAL cloud "
+                        "(Newton-style; recommended 2 for sparse inputs)")
     p.add_argument("--passes", type=int, default=1,
                    help="multi-pass upsampling (SNNPointCloudGenerator)")
     p.add_argument("--inter-points", type=int, default=2048,
@@ -147,7 +151,8 @@ def main():
                     compute_dtype=args.compute_dtype,
                     mode=args.mode,
                     probe_factor=args.probe_factor,
-                    sc_bundle=sc_bundle)
+                    sc_bundle=sc_bundle,
+                    refine_steps=args.refine_steps)
 
     jobs = []
     if args.input:

@@ -350,7 +350,8 @@ class Upsampler:
                  outlier_threshold: float = 1.5, batch_size: int = 256,
                  seed_chunk: int = 8192, compute_dtype: str = "float32",
                  mega_chunks: int = 8, mode: str = "exact",
-                 probe_factor: float = 8.0, mesh=None, sc_bundle=None):
+                 probe_factor: float = 8.0, mesh=None, sc_bundle=None,
+                 refine_steps: int = 1):
         """mode="exact" runs the fn+fd models per seed (reference
         semantics). mode="fast" amortizes: one exact model evaluation per
         ``probe`` (a probe_factor*dense_spacing voxel-dedup subset of the
@@ -361,7 +362,18 @@ class Upsampler:
         output; quality vs exact is pinned by tests/test_pipeline.py.
         mode="sc" uses the shared-cloud encoder (models/sc_model.py,
         requires sc_bundle): one cloud encoding + a ~0.7 MFLOP/seed head
-        instead of any per-seed patch model."""
+        instead of any per-seed patch model.
+
+        refine_steps > 1 iterates the normal/distance move Newton-style:
+        each extra step re-queries the model AT the moved points while
+        conditioning on the ORIGINAL input cloud (unlike the reference's
+        multi_scale_upsample, generation.py:205-220, which re-runs the
+        whole pipeline on its own noisy output and measurably amplifies
+        off-surface error — out/metrics/quality_sc_p2.json). Measured on
+        a sparse N=256 sphere (sc, trained weights): surface residual
+        0.0141 (seeds) -> 0.0065 (1 step) -> 0.0048 (2 steps), converged
+        by step 3; each extra step costs one move-stage pass (~0.2 s at
+        280k seeds)."""
         self.fn_params, self.fn_state, fn_cfg = fn_bundle
         self.fd_params, self.fd_state, fd_cfg = fd_bundle
         self.sc_bundle = sc_bundle
@@ -382,6 +394,7 @@ class Upsampler:
             "mode='sc' needs sc_bundle=(params, state, cfg)"
         self.mode = mode
         self.probe_factor = probe_factor
+        self.refine_steps = max(1, int(refine_steps))
         # Multi-chip: shard the seed/probe tile axis over the mesh's 'dp'
         # axis (SURVEY.md §5.7 — the arbitrary-scale analog of sequence
         # parallelism). The SAME _refine_body/refine pipeline runs per
@@ -462,7 +475,9 @@ class Upsampler:
             return None
         centers, stats = out
         count = stats[2]
-        moved = self._sc_moved(cloud_j, centers, count)
+        moved = centers
+        for _ in range(self.refine_steps):
+            moved = self._sc_moved(cloud_j, moved, count)
         cap = centers.shape[0]
         valid = jnp.arange(cap) < count
         # The fused dispatch must pick the outlier rule BEFORE the seed
@@ -694,12 +709,14 @@ class Upsampler:
         cloud_j = jnp.asarray(cloud, dtype=jnp.float32)
 
         if self.mode == "fast":
-            moved = self._fast_moved(cloud_j, seed_pts, n_seeds)
+            move = self._fast_moved
         elif self.mode == "sc":
-            moved = self._sc_moved(cloud_j, seed_pts, n_seeds)
+            move = self._sc_moved
         else:
-            moved = self._refine_tiles(cloud_j, seed_pts, n_seeds,
-                                       want_nd=False)
+            move = lambda c, p, n: self._refine_tiles(c, p, n, want_nd=False)
+        moved = seed_pts
+        for _ in range(self.refine_steps):
+            moved = move(cloud_j, moved, n_seeds)
         cap = _bucket(n_seeds)
         if moved.shape[0] < cap:
             moved = jnp.pad(moved, ((0, cap - moved.shape[0]), (0, 0)))

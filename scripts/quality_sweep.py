@@ -57,6 +57,9 @@ def main():
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--passes", type=int, default=1,
                    help="multi-pass upsampling (generate.py --passes)")
+    p.add_argument("--refine-steps", type=int, default=1,
+                   help="iterated distance steps (generate.py "
+                        "--refine-steps)")
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--work", default="out/quality")
@@ -78,10 +81,12 @@ def main():
     report = {"mode": args.mode,
               "weights": "random" if args.random_weights else args.weights,
               "ratio": args.ratio, "passes": args.passes,
+              "refine_steps": args.refine_steps,
               "meshes": [os.path.basename(m) for m in meshes],
               "per_size": {}}
 
-    tag = args.mode + (f"_p{args.passes}" if args.passes > 1 else "")
+    tag = args.mode + (f"_p{args.passes}" if args.passes > 1 else "") \
+        + (f"_it{args.refine_steps}" if args.refine_steps > 1 else "")
     for n in sizes:
         in_dir = os.path.join(work, f"in_{n}")
         gt_dir = os.path.join(work, f"gt_{n}")
@@ -102,7 +107,8 @@ def main():
                "--sc-config", args.sc_config, "--mode", args.mode,
                "--batch-size", str(args.batch_size),
                "--compute-dtype", args.compute_dtype,
-               "--passes", str(args.passes)]
+               "--passes", str(args.passes),
+               "--refine-steps", str(args.refine_steps)]
         if args.random_weights:
             cmd.append("--random-weights")
         else:

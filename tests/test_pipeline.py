@@ -184,7 +184,7 @@ def test_outlier_window_adversarial_parallel_sheets():
 
 
 # ------------------------------------------------ sc (shared-cloud) mode
-def _sc_upsampler(mesh=None):
+def _sc_upsampler(mesh=None, **kw):
     fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
                                      k_values=(6, 6, 4), emb_dims=32,
                                      time_steps_enc=2, num_heads=4)
@@ -196,7 +196,7 @@ def _sc_upsampler(mesh=None):
                                      head_hidden=16, time_steps=2)
     return Upsampler(fn_bundle, fd_bundle, k_neighbors=16,
                      dense_spacing=0.02, batch_size=64, mode="sc",
-                     sc_bundle=sc_bundle, mesh=mesh)
+                     sc_bundle=sc_bundle, mesh=mesh, **kw)
 
 
 def test_sc_mode_end_to_end():
@@ -312,6 +312,39 @@ def test_sc_fused_small_count_serves_classic_rule(monkeypatch):
     assert n_f == n_c > 0
     np.testing.assert_array_equal(np.asarray(pts_f[:n_f]),
                                   np.asarray(pts_c[:n_c]))
+
+
+def test_refine_steps_iterated_move(monkeypatch):
+    """refine_steps=2 (iterated distance step: re-query the move at the
+    moved points, original cloud fixed) must change the output vs one
+    step, stay finite and near the shell, and keep the fused single-sync
+    path bit-for-bit equal to the classic path."""
+    from sapcu_tpu.generate import pipeline as pl
+    from sapcu_tpu.ops import seeds as seeds_mod
+
+    monkeypatch.setattr(seeds_mod, "_SEED_ECAP", 8192)
+    monkeypatch.setattr(pl, "_WINDOW_MIN_ROWS", 1024)
+    cloud = _sphere(2048)
+
+    up2 = _sc_upsampler(refine_steps=2)
+    res = up2._upsample_fused_sc(jnp.asarray(cloud))
+    assert res is not None, "fused path unexpectedly fell back"
+    pts_f, n_f = res
+    assert n_f > 0 and np.all(np.isfinite(np.asarray(pts_f[:n_f])))
+    radii = np.linalg.norm(np.asarray(pts_f[:n_f]), axis=1)
+    assert radii.min() > 0.2 and radii.max() < 0.7
+
+    monkeypatch.setenv("SAPCU_FUSED_PIPE", "0")
+    pts_c, n_c = up2.upsample_device(cloud)
+    assert n_f == n_c
+    np.testing.assert_array_equal(np.asarray(pts_f[:n_f]),
+                                  np.asarray(pts_c[:n_c]))
+
+    # one step vs two actually differ (the second query moves points)
+    up1 = _sc_upsampler(refine_steps=1)
+    pts_1, n_1 = up1.upsample_device(cloud)
+    assert not np.array_equal(np.asarray(pts_1[:n_1]),
+                              np.asarray(pts_c[:n_c]))
 
 
 def test_sc_mode_sharded_matches_single():
