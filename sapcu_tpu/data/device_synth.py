@@ -290,13 +290,26 @@ class DeviceSynthLoader:
     """
 
     def __init__(self, kind: str, batch_size: int, steps_per_epoch: int = 250,
-                 *, seed: int = 0, train: bool = True, **gen_kwargs):
+                 *, seed: int = 0, train: bool = True,
+                 label_source: str = "pseudo", **gen_kwargs):
         assert kind in ("fn", "fd", "sc")
+        assert label_source in ("pseudo", "true"), label_source
         self.kind = kind
         self.batch_size = batch_size
         self.steps = steps_per_epoch
         self.seed = seed
         self.train = train
+        # label_source="true" swaps the reference's noisy self-supervised
+        # estimator labels (_pseudo_normal / 1-NN distance — measured
+        # ~30 deg mean angular noise at the training offsets) for the
+        # synthetic SDF's ANALYTIC normals/offsets that every batch
+        # already carries. The default keeps the reference recipe
+        # (sample_mesh-fn.py:95-173); "true" is the supervised-on-synth
+        # recipe that removes the label-noise ceiling (fn plateaued at
+        # 42 deg vs truth under pseudo labels). Patch geometry is
+        # untouched — fd patches stay rotated by the PSEUDO normal, which
+        # models serving-time fn error.
+        self.label_source = label_source
         self.gen_kwargs = gen_kwargs
         self._epoch = 0
 
@@ -312,4 +325,10 @@ class DeviceSynthLoader:
                "sc": sc_synth_batch}[self.kind]
         for i in range(self.steps):
             key = jax.random.fold_in(base, i)
-            yield dict(gen(key, self.batch_size, **self.gen_kwargs))
+            batch = dict(gen(key, self.batch_size, **self.gen_kwargs))
+            if self.label_source == "true":
+                if "true_normal" in batch:
+                    batch["normal"] = batch["true_normal"]
+                if "true_len" in batch:
+                    batch["len"] = batch["true_len"]
+            yield batch

@@ -83,12 +83,16 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             gen_kwargs = dict(n_cloud=int(d_cfg.get("pointcloud_n", 1024)),
                               n_queries=int(d_cfg.get("num_queries", 512)),
                               n_dense=int(d_cfg.get("num_gt_points", 4096)))
+        # str+lower: YAML `label_source: true` (unquoted) parses as a bool
+        label_source = str(d_cfg.get("label_source", "pseudo")).lower()
         train_loader = DeviceSynthLoader(kind, batch_size, spe,
                                          seed=(seed or 0), train=True,
+                                         label_source=label_source,
                                          **gen_kwargs)
         val_loader = DeviceSynthLoader(kind, batch_size,
                                        max(spe // 10, 4),
                                        seed=(seed or 0) + 7919, train=False,
+                                       label_source=label_source,
                                        **gen_kwargs)
         train_ds = val_ds = ()
     elif kind == "sc":

@@ -108,3 +108,22 @@ def test_loader_epochs_and_determinism():
     v1 = [np.asarray(b["normal"]) for b in va]
     v2 = [np.asarray(b["normal"]) for b in va]
     np.testing.assert_array_equal(v1[0], v2[0])  # fixed val set
+
+
+def test_loader_label_source_true_swaps_labels():
+    """label_source="true" must serve the analytic SDF labels in place of
+    the pseudo-estimator ones (same batch geometry, same keys)."""
+    kw = dict(n_dense=256, n_cloud=64, n_patches=8, k=6)
+    pseudo = next(iter(ds.DeviceSynthLoader("fn", 2, 1, seed=0, train=False,
+                                            **kw)))
+    true = next(iter(ds.DeviceSynthLoader("fn", 2, 1, seed=0, train=False,
+                                          label_source="true", **kw)))
+    np.testing.assert_array_equal(np.asarray(true["input"]),
+                                  np.asarray(pseudo["input"]))
+    np.testing.assert_array_equal(np.asarray(true["normal"]),
+                                  np.asarray(true["true_normal"]))
+    assert not np.allclose(np.asarray(true["normal"]),
+                           np.asarray(pseudo["normal"]))
+    # labels are unit toward-surface directions
+    nn = np.linalg.norm(np.asarray(true["normal"]), axis=-1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-5)
