@@ -7,6 +7,8 @@
 # clients, CLAUDE.md). Launch detached:
 #   setsid nohup bash scripts/run_r4_quality2.sh > /tmp/r4_quality2.log 2>&1 &
 cd "$(dirname "$0")/.."
+echo $$ > /tmp/r4_quality2.pid   # self-record: the launcher's $! is the
+                                 # setsid wrapper, which exits at once
 
 echo "=== [1/3] sc refine_steps=2 in-family, all sizes $(date) ==="
 python scripts/quality_sweep.py --mode sc --refine-steps 2 \

@@ -10,6 +10,8 @@
 # Launch detached:
 #   setsid nohup bash scripts/run_r4_train.sh > /tmp/r4_train.log 2>&1 &
 cd "$(dirname "$0")/.."
+echo $$ > /tmp/r4_train.pid   # the launcher's $! is the setsid wrapper,
+                              # which exits at once — self-record instead
 
 if [ -f /tmp/r4_quality2.pid ]; then
     while kill -0 "$(cat /tmp/r4_quality2.pid)" 2>/dev/null; do
