@@ -163,8 +163,8 @@ def sample_surface(shape: dict, key, n: int, iters: int = 10) -> jax.Array:
 # ------------------------------------------------------------- batches
 
 
-def _queries(shape, key, n):
-    """Off-surface queries q = p + t*n, |t| ~ U[0.003, 0.03], both sides.
+def _queries(shape, key, n, off_max: float = 0.03):
+    """Off-surface queries q = p + t*n, |t| ~ U[0.003, off_max], both sides.
 
     Returns (q [n,3], true_normal [n,3], true_len [n]): the ANALYTIC
     toward-surface unit direction (-sign * grad f at p) and offset |t|.
@@ -176,7 +176,7 @@ def _queries(shape, key, n):
     kp, kt, ks = jax.random.split(key, 3)
     p = sample_surface(shape, kp, n)
     nrm = _sdf_grad(shape, p)
-    t = jax.random.uniform(kt, (n, 1), minval=0.003, maxval=0.03)
+    t = jax.random.uniform(kt, (n, 1), minval=0.003, maxval=off_max)
     sign = jnp.where(jax.random.bernoulli(ks, 0.5, (n, 1)), 1.0, -1.0)
     return p + nrm * t * sign, -nrm * sign, t[:, 0]
 
@@ -251,7 +251,7 @@ def fd_synth_batch(key, batch: int, n_dense: int = 2048, n_cloud: int = 256,
 
 
 def _one_sc_sample(key, n_dense: int, n_cloud: int, n_queries: int,
-                   jitter: float):
+                   jitter: float, off_max: float = 0.03):
     """Shared-cloud-encoder sample: the cloud itself plus off-surface
     queries with the same pseudo-normal / 1-NN-distance labels the fn/fd
     recipes use (models/sc_model.py trains on the raw cloud, not
@@ -261,7 +261,7 @@ def _one_sc_sample(key, n_dense: int, n_cloud: int, n_queries: int,
     dense = sample_surface(shape, ks[1], n_dense)
     cloud = sample_surface(shape, ks[2], n_cloud)
     cloud = cloud + jitter * jax.random.normal(ks[3], cloud.shape)
-    q, tn, tl = _queries(shape, ks[4], n_queries)
+    q, tn, tl = _queries(shape, ks[4], n_queries, off_max)
     nrm = _pseudo_normal(dense, q)
     dd = ops.pairwise_sqdist(q, dense)
     lens = jnp.sqrt(jnp.maximum(jnp.min(dd, axis=-1), 0.0))
@@ -272,12 +272,18 @@ def _one_sc_sample(key, n_dense: int, n_cloud: int, n_queries: int,
 @functools.partial(jax.jit, static_argnames=("batch", "n_dense", "n_cloud",
                                              "n_queries"))
 def sc_synth_batch(key, batch: int, n_dense: int = 4096, n_cloud: int = 1024,
-                   n_queries: int = 512, jitter: float = 0.002) -> dict:
+                   n_queries: int = 512, jitter: float = 0.002,
+                   off_max: float = 0.03) -> dict:
     """sc training batch {'cloud' [B,N,3], 'query' [B,S,3],
-    'normal' [B,S,3], 'len' [B,S]} on device."""
+    'normal' [B,S,3], 'len' [B,S]} on device.
+
+    off_max widens the query-offset band: at sparse serving densities
+    the seed shell starts up to ~0.06 off-surface (measured N=256
+    sphere: seed residual max 0.057), so the default 0.03 band leaves
+    the farthest serving queries out of distribution."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda kk: _one_sc_sample(
-        kk, n_dense, n_cloud, n_queries, jitter))(keys)
+        kk, n_dense, n_cloud, n_queries, jitter, off_max))(keys)
 
 
 class DeviceSynthLoader:
@@ -323,9 +329,21 @@ class DeviceSynthLoader:
             self._epoch += 1
         gen = {"fn": fn_synth_batch, "fd": fd_synth_batch,
                "sc": sc_synth_batch}[self.kind]
+        kwargs = dict(self.gen_kwargs)
+        # n_cloud given as a list/tuple cycles input densities across
+        # steps (one jit variant per size — a handful of compiles). The
+        # arbitrary-SCALE serving pipeline sees any input density; an
+        # encoder trained at one density underfits the others (sc at
+        # n_cloud=1024 only: p2m tail at N=256 serving, VERDICT r3 #3).
+        sizes = kwargs.pop("n_cloud", None)
+        if not isinstance(sizes, (list, tuple)):
+            sizes = [sizes] if sizes is not None else [None]
         for i in range(self.steps):
             key = jax.random.fold_in(base, i)
-            batch = dict(gen(key, self.batch_size, **self.gen_kwargs))
+            nc = sizes[i % len(sizes)]
+            if nc is not None:
+                kwargs["n_cloud"] = int(nc)
+            batch = dict(gen(key, self.batch_size, **kwargs))
             if self.label_source == "true":
                 if "true_normal" in batch:
                     batch["normal"] = batch["true_normal"]

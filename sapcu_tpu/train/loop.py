@@ -80,9 +80,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                                 cfg.get("model", {}).get("k", 32))),
                 n_cloud=int(d_cfg.get("num_input_points", 256)))
         else:  # sc
-            gen_kwargs = dict(n_cloud=int(d_cfg.get("pointcloud_n", 1024)),
+            pc_n = d_cfg.get("pointcloud_n", 1024)  # int or list (cycled)
+            gen_kwargs = dict(n_cloud=(pc_n if isinstance(pc_n, (list, tuple))
+                                       else int(pc_n)),
                               n_queries=int(d_cfg.get("num_queries", 512)),
                               n_dense=int(d_cfg.get("num_gt_points", 4096)))
+            if "query_offset_max" in d_cfg:
+                gen_kwargs["off_max"] = float(d_cfg["query_offset_max"])
         # str+lower: YAML `label_source: true` (unquoted) parses as a bool
         label_source = str(d_cfg.get("label_source", "pseudo")).lower()
         train_loader = DeviceSynthLoader(kind, batch_size, spe,

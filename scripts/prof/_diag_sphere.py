@@ -1,3 +1,4 @@
+import sys, os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 """Which serving mode is off-surface? (scratch diagnostic)
 
 Gate sphere-2048: all input points lie exactly on a sphere, so the

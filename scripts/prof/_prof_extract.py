@@ -4,8 +4,9 @@ CPU:  JAX_PLATFORMS=cpu python _prof_extract.py check   (correctness)
 TPU:  python _prof_extract.py                           (timing; mask made
       on device, sync via 4-byte pull -- never ship 15.6MB over the tunnel)
 """
+import os
 import sys, time
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from sapcu_tpu.utils.config import apply_platform_env
 apply_platform_env()
 import jax, jax.numpy as jnp, numpy as np

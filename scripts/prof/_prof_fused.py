@@ -1,3 +1,4 @@
+import sys, os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 #!/usr/bin/env python
 """Fused vs classic sc serving path: wall time + output equality."""
 import os

@@ -1,3 +1,4 @@
+import sys, os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 #!/usr/bin/env python
 """Micro-profile of the outlier-window + compaction internals on chip.
 

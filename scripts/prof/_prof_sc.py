@@ -1,3 +1,4 @@
+import sys, os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 """Per-stage sc-mode profile on the real chip (scalar-pull syncing)."""
 import time
 import numpy as np

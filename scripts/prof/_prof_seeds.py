@@ -1,3 +1,4 @@
+import sys, os as _os; sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 """Per-stage shortlist-exact seeds profile on the real chip.
 
 Scratch tool (untracked): times the sub-stages of ops/seeds.py

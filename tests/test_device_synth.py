@@ -127,3 +127,17 @@ def test_loader_label_source_true_swaps_labels():
     # labels are unit toward-surface directions
     nn = np.linalg.norm(np.asarray(true["normal"]), axis=-1)
     np.testing.assert_allclose(nn, 1.0, atol=1e-5)
+
+
+def test_loader_cycles_cloud_densities_and_offset_band():
+    """n_cloud as a list cycles per step; off_max widens the query band."""
+    tr = ds.DeviceSynthLoader("sc", 2, 4, seed=0, train=False,
+                              n_cloud=[32, 64], n_queries=16, n_dense=128,
+                              off_max=0.06)
+    batches = list(tr)
+    assert [b["cloud"].shape[1] for b in batches] == [32, 64, 32, 64]
+    # offsets drawn up to 0.06: with 4x2x16=128 draws, the max true
+    # offset lands above the old 0.03 cap with overwhelming probability
+    tl = np.concatenate([np.asarray(b["true_len"]).ravel() for b in batches])
+    assert tl.max() > 0.035
+    assert tl.max() <= 0.06 + 1e-6
