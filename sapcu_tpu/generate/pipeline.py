@@ -231,6 +231,30 @@ def _interp_project(seeds: jax.Array, probes: jax.Array,
     return jax.lax.map(one, s2).reshape(-1, 3)
 
 
+# Above this row count the exact O(N^2) outlier scan is not run at all:
+# the full-sort scan at the 1,048,576-row bucket is tens of minutes of
+# device time for ONE cloud and reproducibly CRASHES the TPU worker
+# process partway (no RESOURCE_EXHAUSTED — diagnosed on the OOF box_union
+# mesh, 665k seeds; a single [256, 1M] top_k and the approx scan at the
+# same size both complete, so it is the aggregate multi-minute program,
+# not one kernel). 524,288 rows is the largest bucket the exact scan has
+# completed on (box_sharp, 414k seeds). Exact mode falls back to the
+# Morton-window rule above this — a documented TPU-pragmatics divergence
+# (window-vs-full agreement is pinned by tests/test_pipeline.py
+# test_outlier_window_matches_full and the adversarial-sheets test).
+_EXACT_OUTLIER_MAX_ROWS = 524288
+
+
+def _outlier_chunk(n_rows: int, chunk: int = 2048) -> int:
+    """Query-tile rows for the O(N^2) outlier scan: above the exact-scan
+    ceiling only the approx path runs it, and one [chunk, n_rows] f32
+    distance tile is capped ~<=1 GB there ([2048, 1M] would be 8.6 GB;
+    the approx scan at [256, 1M] tiles measures 25.8 s)."""
+    if n_rows <= _EXACT_OUTLIER_MAX_ROWS:
+        return chunk
+    return min(chunk, max(256, (1 << 28) // n_rows))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "approx"))
 def _outlier_mask(pts, valid, threshold, k: int = 30, chunk: int = 2048,
                   approx: bool = False):
@@ -493,6 +517,7 @@ class Upsampler:
                                         4.0 * self.dense_spacing)
         else:
             keep = _outlier_mask(moved, valid, self.outlier_threshold,
+                                 chunk=_outlier_chunk(moved.shape[0]),
                                  approx=True)
         pts, n_keep = _compact(moved, keep, cap)
         scalars = jnp.concatenate([stats, n_keep.reshape(1)])
@@ -736,7 +761,9 @@ class Upsampler:
             # variants at 8 per bucket while cutting the work up to ~4x
             gran = max(8192, cap // 8)
             rcap = min(cap, -(-n_seeds // gran) * gran)
-            if (self.mode != "exact" and rcap >= _WINDOW_MIN_ROWS
+            use_window = (self.mode != "exact" and rcap >= _WINDOW_MIN_ROWS
+                          or rcap > _EXACT_OUTLIER_MAX_ROWS)
+            if (use_window
                     and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
                 # large clouds: the O(N^2) scan is pure HBM traffic
                 # (2.97 s of a 3.8 s sc cloud at 524k rows) — use the
@@ -747,6 +774,7 @@ class Upsampler:
             else:
                 keep = _outlier_mask(moved[:rcap], valid[:rcap],
                                      self.outlier_threshold,
+                                     chunk=_outlier_chunk(rcap),
                                      approx=self.mode != "exact")
             if rcap < cap:
                 keep = jnp.pad(keep, (0, cap - rcap))
@@ -768,7 +796,8 @@ class Upsampler:
                 big = 1e3
                 safe_refs = jnp.where(vr[:, None], refs, big + refs)
                 safe_q = jnp.where(vq[:, None], q, big + q)
-                d, _ = ops.knn_tiled(safe_q, safe_refs, k=k_out, chunk=2048,
+                d, _ = ops.knn_tiled(safe_q, safe_refs, k=k_out,
+                                     chunk=_outlier_chunk(refs.shape[0]),
                                      approx=approx)
                 d = jnp.sqrt(jnp.maximum(d, 0.0))
                 avg = jnp.mean(d, axis=-1)
