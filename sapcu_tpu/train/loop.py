@@ -186,6 +186,16 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
             # (trainfn.py:391-401); without this a resumed run with
             # it >= patience would early-stop at its first validation.
             best_it = it
+            # When a warm start changes the validation objective (e.g.
+            # fn continued with data.label_source="true": val now scores
+            # against analytic normals, not the pseudo-label estimator),
+            # the stored loss_val_best is on a different scale — keeping
+            # it can starve best-checkpoint saves for the whole run and
+            # trip early stopping at the first patience window.
+            if cfg.get("checkpoint", {}).get("reset_best", False):
+                metric_val_best = float("inf")
+                logger.message("checkpoint.reset_best: stored "
+                               "loss_val_best discarded (new val objective)")
             logger.message(f"Resumed from {resume_file}: it={it} "
                            f"best={metric_val_best:.6f}")
         except Exception as e:  # reference logs and continues fresh
