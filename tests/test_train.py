@@ -383,3 +383,45 @@ def test_checkpoint_is_self_describing(tmp_path):
     assert fresh[2]["snn_mode"] == "feedback"
     _, _, served_cfg = load_model_weights(fresh, str(tmp_path), "fn")
     assert served_cfg["snn_mode"] == "rate"
+
+
+def test_resume_reset_best_discards_stored_val_best(tmp_path):
+    """checkpoint.reset_best=true must discard the stored loss_val_best on
+    a warm start. Round-4 case: the fn continuation switches the val
+    objective (data.label_source="true" scores against analytic normals,
+    not the pseudo-label estimator), so the stored best is on a different
+    scale — without the reset it starves best-checkpoint saves for the
+    whole run."""
+    import pickle
+
+    cfg = _tiny_cfg("fd")
+    out = str(tmp_path / "fd")
+    run_training("fd", cfg, out, resume=False, seed=0)
+
+    # poison the stored best so no real validation can ever beat it
+    best_path = os.path.join(out, "model_best.pt")
+    with open(best_path, "rb") as f:
+        payload = pickle.load(f)
+    payload["loss_val_best"] = -1e9
+    with open(best_path, "wb") as f:
+        pickle.dump(payload, f)
+
+    # without reset_best: the poisoned best survives and gates every save
+    s1 = run_training("fd", cfg, out, max_iterations=5, resume=True, seed=0)
+    assert s1["loss_val_best"] == -1e9
+
+    with open(best_path, "rb") as f:
+        assert pickle.load(f)["loss_val_best"] == -1e9
+
+    # with reset_best: the stored value is discarded, the resumed run's own
+    # validation becomes the best and model_best.pt is rewritten
+    cfg["checkpoint"]["reset_best"] = True
+    s2 = run_training("fd", cfg, out, max_iterations=7, resume=True, seed=0)
+    assert np.isfinite(s2["loss_val_best"])
+
+    with open(best_path, "rb") as f:
+        refreshed = pickle.load(f)
+    assert np.isfinite(refreshed["loss_val_best"])
+    # rewritten by one of the resumed run's validations (it=4 or 6), not
+    # the poisoned it=3 snapshot
+    assert refreshed["it"] >= 4
