@@ -12,8 +12,10 @@ The recipe is the reference's own self-supervision, applied to procedural
 shapes instead of ShapeNet meshes:
 
 - Shapes are composite signed-distance fields (2 randomized primitives out
-  of {ellipsoid, torus, capsule, rounded box}, randomly rotated/offset,
-  min-union, optional low-frequency radial bump). Surface SAMPLES come
+  of {ellipsoid, torus, capsule, rounded box, cone, wedge} — round 5 added
+  the sharp/creased types and thin-plate box aspect ratios, VERDICT r4 #5 —
+  randomly rotated/offset, min-union, optional low-frequency radial bump).
+  Surface SAMPLES come
   from Newton projection p <- p - f(p) grad f / |grad f|^2 (a few
   iterations), normals from autodiff grad f.
 - fn labels: pseudo-normal = normalize(mean(10-NN of query in a dense
@@ -79,6 +81,45 @@ def _sdf_roundbox(p, br):
     return outside + inside - br[3]
 
 
+def _sdf_cone(p, hr):
+    """Exact capped cone, apex radius 0 (sharp tip + sharp base rim).
+
+    hr = (half-height h, base radius r). Round-4 OOF sweeps showed the
+    upsampler adds points farther from the surface than the inputs on
+    sharp-feature meshes (F-score@1e-2 below input at N=256) because the
+    training family had no creases — cones/wedges/sharp boxes close that
+    gap (VERDICT r4 #5)."""
+    h, r = hr[0], hr[1]
+    q = jnp.stack([_norm(p[..., ::2]), p[..., 1]], axis=-1)   # (len(xz), y)
+    k1 = jnp.stack([jnp.zeros_like(h), h])                    # top: r2 = 0
+    k2 = jnp.stack([-r, 2.0 * h])
+    cax = q[..., 0] - jnp.minimum(q[..., 0],
+                                  jnp.where(q[..., 1] < 0.0, r, 0.0))
+    cay = jnp.abs(q[..., 1]) - h
+    t = jnp.clip(jnp.sum((k1 - q) * k2, axis=-1)
+                 / jnp.maximum(jnp.sum(k2 * k2), 1e-12), 0.0, 1.0)
+    cb = q - k1 + t[..., None] * k2
+    s = jnp.where((cb[..., 0] < 0.0) & (cay < 0.0), -1.0, 1.0)
+    d2 = jnp.minimum(cax * cax + cay * cay,
+                     jnp.sum(cb * cb, axis=-1))
+    return s * jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+
+_WEDGE_N = jnp.array([0.70710678, 0.0, 0.70710678])  # 45-deg cut plane
+
+
+def _sdf_wedge(p, bw):
+    """Sharp box intersected with a 45-deg halfspace: a wedge with one
+    concave-free sharp edge chain. max() of SDFs is exact away from the
+    intersection crease — fine for sampling/Newton/labels a.e."""
+    box = _sdf_roundbox(p, jnp.concatenate([bw[:3], jnp.zeros((1,))]))
+    plane = jnp.sum(p * _WEDGE_N, axis=-1) - bw[3]
+    return jnp.maximum(box, plane)
+
+
+N_TYPES = 6  # ellipsoid, torus, capsule, roundbox, cone, wedge
+
+
 def _rand_rotation(key):
     """Uniform random rotation matrix (quaternion method)."""
     q = jax.random.normal(key, (4,))
@@ -96,18 +137,29 @@ def sample_shape_params(key) -> dict:
     ks = jax.random.split(key, 8)
     comps = []
     for i in range(2):
-        kt, kp, kr, kc = jax.random.split(ks[i], 4)
-        onehot = jax.nn.one_hot(jax.random.randint(kt, (), 0, 4), 4)
+        kt, kp, kr, kc, kx = jax.random.split(ks[i], 5)
+        onehot = jax.nn.one_hot(jax.random.randint(kt, (), 0, N_TYPES),
+                                N_TYPES)
         radii = jax.random.uniform(kp, (3,), minval=0.16, maxval=0.40)
         rR = jnp.stack([jax.random.uniform(kp, (), minval=0.2, maxval=0.34),
                         jax.random.uniform(kc, (), minval=0.06, maxval=0.14)])
         hr = jnp.stack([jax.random.uniform(kp, (), minval=0.1, maxval=0.28),
                         jax.random.uniform(kc, (), minval=0.08, maxval=0.2)])
+        # box extents down to 0.03 (thin plates / plate stacks) and round
+        # radius down to 0 (sharp edges) — the r4 OOF families the
+        # training data lacked
         br = jnp.concatenate([
-            jax.random.uniform(kp, (3,), minval=0.1, maxval=0.3),
-            jax.random.uniform(kc, (1,), minval=0.02, maxval=0.08)])
+            jax.random.uniform(kp, (3,), minval=0.03, maxval=0.32),
+            jax.random.uniform(kc, (1,), minval=0.0, maxval=0.06)])
+        cone_hr = jnp.stack([
+            jax.random.uniform(kp, (), minval=0.15, maxval=0.32),
+            jax.random.uniform(kc, (), minval=0.12, maxval=0.3)])
+        bw = jnp.concatenate([
+            jax.random.uniform(kp, (3,), minval=0.08, maxval=0.3),
+            jax.random.uniform(kx, (1,), minval=-0.06, maxval=0.06)])
         comps.append({
             "onehot": onehot, "radii": radii, "rR": rR, "hr": hr, "br": br,
+            "cone_hr": cone_hr, "bw": bw,
             "rot": _rand_rotation(kr),
             "center": jax.random.uniform(kc, (3,), minval=-0.12, maxval=0.12)
             * (1.0 if i else 0.0),  # first component stays centered
@@ -125,7 +177,9 @@ def shape_sdf(shape: dict, p: jax.Array) -> jax.Array:
         d = (c["onehot"][0] * _sdf_ellipsoid(q, c["radii"])
              + c["onehot"][1] * _sdf_torus(q, c["rR"])
              + c["onehot"][2] * _sdf_capsule(q, c["hr"])
-             + c["onehot"][3] * _sdf_roundbox(q, c["br"]))
+             + c["onehot"][3] * _sdf_roundbox(q, c["br"])
+             + c["onehot"][4] * _sdf_cone(q, c["cone_hr"])
+             + c["onehot"][5] * _sdf_wedge(q, c["bw"]))
         ds.append(d)
     d = jnp.minimum(ds[0], ds[1])
     bump = shape["bump_amp"] * (
@@ -140,7 +194,7 @@ def _sdf_grad(shape, p):
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
 
 
-def project_to_surface(shape: dict, p: jax.Array, iters: int = 10
+def project_to_surface(shape: dict, p: jax.Array, iters: int = 16
                        ) -> jax.Array:
     """Newton projection onto the SDF zero set."""
     for _ in range(iters):
@@ -151,7 +205,7 @@ def project_to_surface(shape: dict, p: jax.Array, iters: int = 10
     return p
 
 
-def sample_surface(shape: dict, key, n: int, iters: int = 10) -> jax.Array:
+def sample_surface(shape: dict, key, n: int, iters: int = 16) -> jax.Array:
     """n approximately-uniform surface samples (projected ball samples)."""
     kd, kr = jax.random.split(key)
     v = jax.random.normal(kd, (n, 3))

@@ -361,6 +361,59 @@ def _fps_select(pts: jax.Array, n_valid: jax.Array, npoint: int) -> jax.Array:
     return pts[idx]
 
 
+# --------------------------------------------------- product (ratio) mode
+@functools.partial(jax.jit, static_argnames=("n_seeds", "k"))
+def _interp_seeds(cloud: jax.Array, key: jax.Array, n_seeds: int,
+                  k: int = 8) -> jax.Array:
+    """Interpolation seeding for the ratio-scaled product path.
+
+    q = x_i + u * (x_j - x_i) with x_j one of x_i's k nearest neighbours,
+    anchors round-robin over the input (every input point spawns
+    ~n_seeds/N queries), u ~ U[0, 1]. The chords lie within chord-error
+    distance of the surface, i.e. INSIDE the sc model's trained query
+    band, and the sc move projects them onto it.
+
+    Rationale: the reference's product path builds the full 0.004-cell
+    voxel shell (~280k seeds for a 2048-pt cloud) and FPS-selects 3% of
+    it (generate.py:95-99 + generation.py:114-116) — ~34x oversampled
+    for a 4x product. Seeding only ~oversample*target queries makes the
+    product cost scale with the OUTPUT size, not the shell size; output
+    quality vs the full-shell path is gated on GT Chamfer
+    (scripts/quality_gate.py, quality_product.json)."""
+    n = cloud.shape[0]
+    kk = min(k, n - 1)
+    d = ops.pairwise_sqdist(cloud, cloud)
+    d = d + jnp.eye(n, dtype=d.dtype) * 1e9          # exclude self
+    _, idx = ops.top_k_select(-d, kk)                # [N, kk]
+    kj, ku = jax.random.split(key)
+    anchors = jnp.arange(n_seeds, dtype=jnp.int32) % n
+    j = jax.random.randint(kj, (n_seeds,), 0, kk)
+    u = jax.random.uniform(ku, (n_seeds, 1))
+    xi = cloud[anchors]
+    xj = cloud[idx[anchors, j]]
+    return xi + u * (xj - xi)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _stride_select(pts: jax.Array, n_valid: jax.Array, n_out: int,
+                   morton_cell: float = 0.004) -> jax.Array:
+    """Exactly n_out spatially-stratified rows from the first n_valid.
+
+    Sort by Z-order key, pick every (n_valid/n_out)-th rank: one sort
+    instead of the O(n_out * n_valid) sequential FPS loop (fps at
+    270k->8192 measured 63 ms; this is ~1 ms). Spatial stratification is
+    what FPS buys for near-uniform candidate sets — the moved seed set
+    is one (gated on GT Chamfer). n_valid < n_out repeats candidates
+    (callers oversample so this never triggers in practice)."""
+    cap = pts.shape[0]
+    nv = jnp.maximum(jnp.asarray(n_valid, jnp.int32), 1)
+    keym = jnp.where(jnp.arange(cap) < nv,
+                     ops.morton_code(pts, morton_cell), jnp.int32(2 ** 30))
+    order = jnp.argsort(keym)
+    pos = (jnp.arange(n_out, dtype=jnp.int32) * nv) // n_out
+    return pts[order[pos]]
+
+
 class Upsampler:
     """Drop-in functional analog of Generator3D6 (generation.py:50-187).
 
@@ -605,6 +658,64 @@ class Upsampler:
         assert n >= target_points, \
             f"Generated {n} points, expected >= {target_points}"
         return _fps_select(pts, jnp.asarray(n), target_points)
+
+    # ------------------------------------------------------- product mode
+    def product_dispatch(self, data, target_points: int,
+                         oversample: float = 2.5):
+        """Dispatch the ratio-scaled product pipeline (sc mode only) with
+        NO host synchronisation: interpolation seeding (oversample *
+        target queries instead of the ~34x-oversampled voxel shell) ->
+        sc move (x refine_steps) -> outlier filter -> Morton-strided
+        selection to EXACTLY target_points. Returns an opaque handle for
+        ``product_resolve``; dispatching cloud i+1 before resolving
+        cloud i streams the product path the same way
+        upsample_device_async streams the shell path."""
+        assert self.mode == "sc" and self.sc_bundle is not None, \
+            "product mode requires mode='sc'"
+        assert self.mesh is None, "product mode is single-chip"
+        cloud = jnp.asarray(data, dtype=jnp.float32)
+        if cloud.ndim == 3:
+            cloud = cloud[0]
+        # seed-count bucket: multiples of 8192 bound the compile variants
+        # (one per (input size, bucket) pair across a whole sweep)
+        n_seeds = max(8192, -(-int(target_points * oversample) // 8192)
+                      * 8192)
+        seeds = _interp_seeds(cloud, jax.random.PRNGKey(0), n_seeds)
+        # one move over the full candidate set; the remaining
+        # refine_steps-1 Newton iterations run AFTER selection, on only
+        # the target_points kept rows — the shipped it2 quality lands on
+        # every delivered point at ~60% of the all-candidates cost
+        moved = self._sc_moved(cloud, seeds, n_seeds)
+        valid = jnp.ones((moved.shape[0],), bool)
+        if (moved.shape[0] >= _WINDOW_MIN_ROWS
+                and os.environ.get("SAPCU_OUTLIER_WINDOW", "1") != "0"):
+            keep = _outlier_mask_window(moved, valid, self.outlier_threshold,
+                                        4.0 * self.dense_spacing)
+        else:
+            keep = _outlier_mask(moved, valid, self.outlier_threshold,
+                                 chunk=_outlier_chunk(moved.shape[0]),
+                                 approx=True)
+        pts, n_keep = _compact(moved, keep, moved.shape[0])
+        sel = _stride_select(pts, n_keep, target_points)
+        for _ in range(self.refine_steps - 1):
+            sel = self._sc_moved(cloud, sel, target_points)
+        return sel, n_keep
+
+    def product_resolve(self, handle) -> tuple[jax.Array, int]:
+        """(selected [target, 3] ON DEVICE, n_candidates). n_candidates <
+        target means the outlier filter ate into the oversample margin
+        and the selection repeated rows — never observed at the default
+        oversample (filter keeps ~99%); callers may re-dispatch with a
+        larger oversample in that case."""
+        sel, n_keep = handle
+        return sel, int(n_keep)
+
+    def upsample_product(self, data, target_points: int,
+                         oversample: float = 2.5) -> jax.Array:
+        """Synchronous product path -> [target, 3] device array."""
+        sel, _ = self.product_resolve(
+            self.product_dispatch(data, target_points, oversample))
+        return sel
 
     def generate_seeds(self, cloud: np.ndarray) -> np.ndarray:
         return seeds_mod.generate_seeds(cloud, cell=self.dense_spacing,

@@ -64,7 +64,7 @@ def _init_block(key, d_points, d_model):
 def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
                   time_steps_enc: int = 6, num_heads: int = 8,
                   dropout: float = 0.1, decoder_dropout: float = 0.1,
-                  snn_mode: str = "feedback"
+                  snn_mode: str = "feedback", pca_prior: bool = False
                   ) -> tuple[Pytree, Pytree, dict]:
     """Build (params, state, config) for the fn model.
 
@@ -73,11 +73,22 @@ def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
     see snn/neuron.py::multi_step); "rate" = constant-input rate coding
     (the fd-encoder wiring that actually trains). The mode is a model
     hyperparameter: checkpoints trained in one mode must be served in it.
+
+    pca_prior=True (fn-r5 recipe, no reference counterpart): the decoder
+    predicts a RESIDUAL correction to the analytic oriented local-plane
+    normal of the patch (ops.local_plane — the same prior that carried
+    the sc head to 8.4 deg mean vs truth while the prior-free fn
+    plateaued at 38-42 deg across rounds 2-4). 12 analytic plane/centroid
+    features are appended to the decoder input, the output head is
+    near-zero-initialised, and the decoder's LayerNorm is skipped so the
+    raw residual adds to the prior before L2 normalisation. Default False
+    = the reference architecture (golden-parity path).
     """
     cfg = dict(k_values=tuple(k_values), emb_dims=emb_dims,
                time_steps_enc=time_steps_enc, num_heads=num_heads,
                dropout=dropout, decoder_dropout=decoder_dropout,
-               d_models=(128, 256, 512), snn_mode=snn_mode)
+               d_models=(128, 256, 512), snn_mode=snn_mode,
+               pca_prior=bool(pca_prior))
     ks = iter(jax.random.split(key, 16))
     params: dict = {"enc": {}, "dec": {}}
     state: dict = {"enc": {}, "dec": {}}
@@ -100,13 +111,17 @@ def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
     dec_p, dec_s = params["dec"], state["dec"]
     hidden = [1024, 512, 256]
     dec_p["mlp"], dec_s["mlp_bn"] = [], []
-    cin = 2048
+    cin = 2048 + (12 if pca_prior else 0)   # + analytic plane features
     for h in hidden:
         p, s = _fc_bn(next(ks), cin, h)
         dec_p["mlp"].append(p)
         dec_s["mlp_bn"].append(s)
         cin = h
     dec_p["fc_out"] = fnn.dense_init(next(ks), hidden[-1], 3)
+    if pca_prior:
+        # near-zero residual head: the model outputs ~the analytic prior
+        # at init and only learns the correction (sc_model.py precedent)
+        dec_p["fc_out"] = jax.tree.map(lambda a: a * 1e-3, dec_p["fc_out"])
     dec_p["norm_out"] = fnn.layer_norm_init(3)
     return params, state, cfg
 
@@ -338,8 +353,36 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     return fnn.dense(enc_p["fc_out"], g), new_s
 
 
-def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None):
-    """StandardNormalDecoder: [B, 2048] -> unit normals [B, 3]."""
+def patch_plane_features(rel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Analytic prior features of a query-centered patch (nearest-first).
+
+    rel: [..., M, 3] neighbour offsets -> (oriented 8-NN plane normal
+    [..., 3], 12 geometry features [..., 12]) — the same prior block the
+    sc head conditions on (sc_model.py::sc_head): 8-NN plane
+    (normal, dist), full-patch plane, centroid direction/norm. Always
+    f32 (3x3 eigenvectors in bf16 are junk)."""
+    rel32 = rel.astype(jnp.float32)
+    m8 = min(8, rel.shape[-2])
+    n8, d8 = ops.local_plane(rel32[..., :m8, :])
+    nm, dm = ops.local_plane(rel32)
+    cmean = jnp.mean(rel32, axis=-2)
+    cnorm = jnp.sqrt(jnp.maximum(
+        jnp.sum(cmean * cmean, axis=-1, keepdims=True), 1e-12))
+    cdir = cmean / cnorm
+    geo = jnp.concatenate(
+        [n8, d8[..., None] * 32.0, nm, dm[..., None] * 32.0,
+         cdir, cnorm * 32.0], axis=-1)
+    return n8, geo
+
+
+def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None,
+                     prior_normal=None):
+    """StandardNormalDecoder: [B, 2048] -> unit normals [B, 3].
+
+    With cfg["pca_prior"], ``prior_normal`` [B, 3] is required and the
+    MLP output is a raw residual added to it (no LayerNorm — a 3-dim
+    LayerNorm of a near-zero residual would renormalise it to O(1) and
+    destroy the prior at init)."""
     dec_p, dec_s = params["dec"], state["dec"]
     rngs = iter(jax.random.split(rng, 4)) if rng is not None else iter([None] * 4)
     new_bns = []
@@ -350,6 +393,9 @@ def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None):
         h = fnn.dropout(next(rngs), h, cfg["decoder_dropout"], training)
         new_bns.append(nb)
     h = fnn.dense(dec_p["fc_out"], h)
+    if cfg.get("pca_prior"):
+        return (fnn.l2_normalize(prior_normal + h.astype(jnp.float32)),
+                {"mlp_bn": new_bns})
     h = fnn.layer_norm(dec_p["norm_out"], h)
     return fnn.l2_normalize(h), {"mlp_bn": new_bns}
 
@@ -371,8 +417,16 @@ def fn_apply(params, state, x, cfg, *, training: bool, rng=None):
         enc_rng, dec_rng = jax.random.split(rng)
     feat, new_enc = fn_encoder_apply(params, state, flat, cfg,
                                      training=training, rng=enc_rng)
+    prior = None
+    if cfg.get("pca_prior"):
+        # patches arrive nearest-first (top_k / topk_small order) both in
+        # training (device_synth) and serving (pipeline._refine_body)
+        n8, geo = patch_plane_features(flat)
+        feat = jnp.concatenate([feat, geo.astype(feat.dtype)], axis=-1)
+        prior = n8
     normals, new_dec = fn_decoder_apply(params, state, feat, cfg,
-                                        training=training, rng=dec_rng)
+                                        training=training, rng=dec_rng,
+                                        prior_normal=prior)
     if x.ndim == 4:
         normals = normals.reshape(b, n, 3)
     return normals, {"enc": new_enc, "dec": new_dec}

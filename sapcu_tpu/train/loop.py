@@ -65,9 +65,11 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
         d_cfg = cfg["data"]
         spe = int(d_cfg.get("steps_per_epoch", 250))
         if kind == "fn":
+            pc_n = d_cfg.get("pointcloud_n", 512)  # int or list (cycled)
             gen_kwargs = dict(n_patches=int(d_cfg.get("patch_n", 64)),
                               k=int(d_cfg.get("patch_k", 12)),
-                              n_cloud=int(d_cfg.get("pointcloud_n", 512)))
+                              n_cloud=(pc_n if isinstance(pc_n, (list, tuple))
+                                       else int(pc_n)))
         elif kind == "fd":
             # patch_k defaults to the model graph k (reference parity:
             # fd/datacore.py:131-136 self-kNN patches with k=model.k);
@@ -196,6 +198,13 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                 metric_val_best = float("inf")
                 logger.message("checkpoint.reset_best: stored "
                                "loss_val_best discarded (new val objective)")
+            # Warm start under a NEW schedule: without this, a resumed
+            # `it` (e.g. 40k from the prior run) lands past the new
+            # cosine's t_max and the whole run trains at min_lr.
+            if cfg.get("checkpoint", {}).get("reset_counters", False):
+                epoch_it, it, best_it = 0, 0, 0
+                logger.message("checkpoint.reset_counters: iteration/"
+                               "epoch counters reset (weights kept)")
             logger.message(f"Resumed from {resume_file}: it={it} "
                            f"best={metric_val_best:.6f}")
         except Exception as e:  # reference logs and continues fresh

@@ -120,6 +120,7 @@ def fn_schedule(cfg: dict) -> Callable[[int, int], tuple[float, float]]:
     t_max = int(t.get("max_iterations", 300000))
     decay = float(t.get("lr_decay", 0.95))
     decay_step = int(t.get("lr_decay_step", 2000))
+    min_lr = float(t.get("min_lr", 0.0))
 
     def sched(it: int, epoch: int) -> tuple[float, float]:
         if warmup > 0 and it < warmup:
@@ -128,6 +129,14 @@ def fn_schedule(cfg: dict) -> Callable[[int, int], tuple[float, float]]:
         count = it // max(validate_every, 1)  # stepped per validation
         if policy == "cosine":
             lr = base * 0.5 * (1 + math.cos(math.pi * min(count, t_max) / t_max))
+        elif policy == "cosine_it":
+            # per-ITERATION cosine to min_lr — the synth-recipe fix for
+            # the reference's per-validation stepping quirk, under which
+            # count = it // validate_every stays ~0 relative to t_max and
+            # lr never leaves base (fn r4: flat 39 deg plateau over a
+            # whole 31k-it run, configs/fn_synth_ft.yaml history)
+            frac = min(max(it - warmup, 0) / max(t_max - warmup, 1), 1.0)
+            lr = min_lr + (base - min_lr) * 0.5 * (1 + math.cos(math.pi * frac))
         elif policy == "step":
             lr = base * decay ** (count // max(decay_step, 1))
         else:

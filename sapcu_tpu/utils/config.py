@@ -121,6 +121,7 @@ def get_model(cfg: dict, kind: str, seed: int | None = None):
             dropout=mc.get("dropout", 0.1),
             decoder_dropout=mc.get("decoder_dropout", 0.1),
             snn_mode=mc.get("snn_mode", "feedback"),
+            pca_prior=mc.get("pca_prior", False),
         )
     if kind == "sc":
         return models.init_sc_model(

@@ -46,6 +46,16 @@ def main():
     p.add_argument("--models", default="fn,fd,sc")
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--fn-patch-k", type=int, default=100,
+                   help="fn eval patch size. Default 100 = the SERVING "
+                        "patch (generation.py:127-129 k_neighbors) and the "
+                        "synth training recipe (configs/fn_synth.yaml "
+                        "patch_k), so this metric, the train-loop val "
+                        "metric, and serving all score the same geometry. "
+                        "12 restores the reference's training-patch eval "
+                        "(fn/datacore.py) — r4's unexplained 5-deg "
+                        "val-vs-harness gap was exactly this mismatch.")
+    p.add_argument("--fn-patch-n", type=int, default=16)
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
@@ -72,7 +82,9 @@ def main():
         @jax.jit
         def fn_eval(key):
             b = dsynth.fn_synth_batch(key, args.batch_size, n_dense=4096,
-                                      n_cloud=512, n_patches=64, k=12)
+                                      n_cloud=512,
+                                      n_patches=args.fn_patch_n,
+                                      k=args.fn_patch_k)
             pred, _ = models.fn_apply(params, state, b["input"], cfg,
                                       training=False)
             pred = pred / jnp.maximum(
@@ -90,6 +102,7 @@ def main():
         at, al, cs = map(np.concatenate, (at, al, cs))
         results["fn"] = {
             "trained": trained,
+            "patch_k": args.fn_patch_k, "patch_n": args.fn_patch_n,
             "angular_error_deg_vs_true_mean": float(at.mean()),
             "angular_error_deg_vs_true_median": float(np.median(at)),
             "angular_error_deg_vs_label_mean": float(al.mean()),

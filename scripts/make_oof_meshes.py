@@ -152,6 +152,159 @@ def box_union_mesh(s=1.0):
     return np.vstack([v1, v2]), np.vstack([f1, f2 + len(v1)])
 
 
+# ---------------------------------------------------------------- gen 2
+# Round 5 moved cones/wedges/sharp boxes/thin plates INTO the training
+# family (data/device_synth.py, VERDICT r4 #5), which makes the gen-1 set
+# above near-family. These stay genuinely outside the r5 family:
+# curved-swept tubes, genus-1 topology, repeated concave steps, star
+# creases, thin curved shells, and non-axis-aligned platonic corners.
+
+
+def octahedron_mesh(s=0.85):
+    v = s * np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], float)
+    faces = [(0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+             (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5)]
+    return v, np.asarray(faces, np.int64)
+
+
+def tetra_mesh(s=1.05):
+    v = s / np.sqrt(3.0) * np.array(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], float)
+    faces = [(0, 1, 2), (0, 3, 1), (0, 2, 3), (1, 3, 2)]
+    return v, np.asarray(faces, np.int64)
+
+
+def _grid_faces(nu, nv, wrap_u=False, wrap_v=True, off=0):
+    faces = []
+    ru = nu if wrap_u else nu - 1
+    rv = nv if wrap_v else nv - 1
+    for i in range(ru):
+        for j in range(rv):
+            a = off + i * nv + j
+            b = off + ((i + 1) % nu) * nv + j
+            c = off + ((i + 1) % nu) * nv + (j + 1) % nv
+            d = off + i * nv + (j + 1) % nv
+            faces += [(a, b, c), (a, c, d)]
+    return faces
+
+
+def helix_tube_mesh(R=0.5, pitch=0.75, turns=1.5, r=0.15, nu=96, nv=16):
+    """Tube swept along a helix: smoothly curved, torsioned — nothing in
+    the composite-SDF family sweeps a profile along a space curve."""
+    u = np.linspace(0, 2 * np.pi * turns, nu)
+    c = np.stack([R * np.cos(u), R * np.sin(u),
+                  pitch * u / (2 * np.pi) - pitch * turns / 2], -1)
+    t = np.gradient(c, axis=0)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    up = np.array([0.0, 0.0, 1.0])
+    n1 = np.cross(t, up)
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    n2 = np.cross(t, n1)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    ring = (np.cos(v)[None, :, None] * n1[:, None, :]
+            + np.sin(v)[None, :, None] * n2[:, None, :])
+    verts = (c[:, None, :] + r * ring).reshape(-1, 3)
+    faces = _grid_faces(nu, nv, wrap_u=False, wrap_v=True)
+    # end caps: fan from the two helix end centers
+    verts = np.vstack([verts, c[[0]], c[[-1]]])
+    c0, c1 = len(verts) - 2, len(verts) - 1
+    for j in range(nv):
+        faces.append((c0, (j + 1) % nv, j))
+        faces.append((c1, (nu - 1) * nv + j, (nu - 1) * nv + (j + 1) % nv))
+    return verts, np.asarray(faces, np.int64)
+
+
+def tube_mesh(R=0.65, r=0.4, h=0.7, n=64):
+    """Hollow cylinder (genus 1): inner concave wall + four sharp rims —
+    the first held-out shape with a hole through it."""
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    co, si = np.cos(t), np.sin(t)
+    rings = []
+    for rad, z in ((R, -h / 2), (R, h / 2), (r, h / 2), (r, -h / 2)):
+        rings.append(np.stack([rad * co, rad * si, np.full(n, z)], -1))
+    v = np.vstack(rings)
+    faces = []
+    for a in range(4):          # outer wall, top annulus, inner wall, bottom
+        b = (a + 1) % 4
+        for i in range(n):
+            j = (i + 1) % n
+            faces += [(a * n + i, a * n + j, b * n + j),
+                      (a * n + i, b * n + j, b * n + i)]
+    return v, np.asarray(faces, np.int64)
+
+
+def stairs_mesh(steps=3, w=1.3, d=0.42, t=0.3):
+    """Staircase: repeated convex+CONCAVE 90-degree creases (box soup)."""
+    vs, fs, off = [], [], 0
+    for i in range(steps):
+        v, f = box_mesh(w, d, (i + 1) * t,
+                        center=(0, -((steps - 1) / 2 - i) * d,
+                                (i + 1) * t / 2 - steps * t / 2))
+        vs.append(v)
+        fs.append(f + off)
+        off += len(v)
+    return np.vstack(vs), np.vstack(fs)
+
+
+def cross_prism_mesh(s=1.35, a=0.42, h=0.5):
+    """Plus-shaped prism (two crossing boxes): 8 concave vertical edges."""
+    v1, f1 = box_mesh(s, a, h)
+    v2, f2 = box_mesh(a, s, h)
+    return np.vstack([v1, v2]), np.vstack([f1, f2 + len(v1)])
+
+
+def star_prism_mesh(n=5, R=0.8, r=0.35, h=0.4):
+    """5-point star extrusion: alternating sharp convex/concave creases."""
+    t = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False) + np.pi / 2
+    rad = np.where(np.arange(2 * n) % 2 == 0, R, r)
+    xy = np.stack([rad * np.cos(t), rad * np.sin(t)], -1)
+    m = 2 * n
+    v = np.vstack([np.column_stack([xy, np.full(m, -h / 2)]),
+                   np.column_stack([xy, np.full(m, h / 2)]),
+                   [[0, 0, -h / 2], [0, 0, h / 2]]])
+    cb, ct = 2 * m, 2 * m + 1
+    faces = []
+    for i in range(m):
+        j = (i + 1) % m
+        faces += [(i, j, m + j), (i, m + j, m + i)]        # walls
+        faces += [(cb, j, i), (ct, m + i, m + j)]          # caps (star-shaped)
+    return v, np.asarray(faces, np.int64)
+
+
+def bowl_mesh(R=0.75, t=0.12, n=48, m=14):
+    """Hemispherical shell opening upward: a thin doubly-curved sheet
+    with a circular rim (the family has no shells at all)."""
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ph = np.linspace(np.pi / 2, np.pi, m)                  # equator -> pole
+    vs = []
+    for rad in (R, R - t):
+        grid = np.stack([rad * np.sin(ph)[:, None] * np.cos(th)[None, :],
+                         rad * np.sin(ph)[:, None] * np.sin(th)[None, :],
+                         rad * np.cos(ph)[:, None] * np.ones_like(th)[None, :]],
+                        -1).reshape(-1, 3)
+        vs.append(grid)
+    v = np.vstack(vs)
+    faces = _grid_faces(m, n, wrap_u=False, wrap_v=True, off=0)
+    faces += _grid_faces(m, n, wrap_u=False, wrap_v=True, off=m * n)
+    for i in range(n):                                     # rim annulus
+        j = (i + 1) % n
+        faces += [(i, j, m * n + j), (i, m * n + j, m * n + i)]
+    return v, np.asarray(faces, np.int64)
+
+
+SPECS2 = [
+    ("octahedron", octahedron_mesh),
+    ("tetra", tetra_mesh),
+    ("helix_tube", helix_tube_mesh),
+    ("tube", tube_mesh),
+    ("stairs", stairs_mesh),
+    ("cross_prism", cross_prism_mesh),
+    ("star_prism", star_prism_mesh),
+    ("bowl", bowl_mesh),
+]
+
+
 def write_off(path, verts, faces):
     with open(path, "w") as f:
         f.write(f"OFF\n{len(verts)} {len(faces)} 0\n")
@@ -176,14 +329,20 @@ SPECS = [
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="out/oof/meshes/oof")
+    p.add_argument("--gen", type=int, default=1, choices=[1, 2],
+                   help="1 = sharp primitives (near-family since the r5 "
+                        "training data gained creases); 2 = the round-5 "
+                        "held-out set (swept tubes, genus-1, stairs, "
+                        "star creases, shells, platonic corners)")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    for name, fn in SPECS:
+    specs = SPECS if args.gen == 1 else SPECS2
+    for name, fn in specs:
         v, f = fn()
         write_off(os.path.join(args.out, f"{name}.off"), v, f)
         print(f"{name}: {len(v)} verts, {len(f)} faces, "
               f"bbox {v.min(0).round(2)}..{v.max(0).round(2)}")
-    print(f"wrote {len(SPECS)} meshes to {args.out}")
+    print(f"wrote {len(specs)} meshes to {args.out}")
 
 
 if __name__ == "__main__":

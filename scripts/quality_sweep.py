@@ -31,6 +31,35 @@ import numpy as np  # noqa: E402
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+def perturb_scan(pts, rng):
+    """Scanned-input corruption (VERDICT r4 missing #1): the clean
+    procedural samplings never exercise what real scans do to the input —
+    anisotropic sensor noise, holes, and one-sided occlusion. GT stays
+    clean; the input baseline then measures the corrupted input's CD and
+    the upsampler must improve on it (complete + denoise).
+
+    - anisotropic noise: sigma 0.004 along one random direction (a scan
+      line-of-sight) + 0.0015 isotropic;
+    - holes: 2 spherical cutouts of radius 0.07 centered on random kept
+      points (missing patches);
+    - occlusion: drop everything past the 0.88 quantile along a random
+      axis (self-occlusion crop).
+    Counts drop (~15-30%) — serving takes arbitrary sizes by design."""
+    n = pts.shape[0]
+    d = rng.normal(size=3)
+    d /= np.linalg.norm(d)
+    pts = (pts + rng.normal(size=(n, 1)) * 0.004 * d
+           + rng.normal(size=(n, 3)) * 0.0015)
+    keep = np.ones(n, bool)
+    for _ in range(2):
+        c = pts[rng.integers(0, n)]
+        keep &= np.linalg.norm(pts - c, axis=1) > 0.07
+    ax = rng.integers(0, 3)
+    keep &= pts[:, ax] <= np.quantile(pts[:, ax], 0.88)
+    out = pts[keep]
+    return out if len(out) >= 32 else pts[:32]
+
+
 def run(cmd, env_extra=None):
     env = dict(os.environ)
     if env_extra:
@@ -51,7 +80,7 @@ def main():
     p.add_argument("--fd-config", default="configs/fd_synth.yaml")
     p.add_argument("--sc-config", default="configs/sc.yaml")
     p.add_argument("--mode", default="exact",
-                   choices=["exact", "fast", "sc"])
+                   choices=["exact", "fast", "sc", "product"])
     p.add_argument("--sizes", default="256,512,1024,2048")
     p.add_argument("--ratio", type=int, default=4)
     p.add_argument("--random-weights", action="store_true")
@@ -64,6 +93,10 @@ def main():
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--work", default="out/quality")
     p.add_argument("--json-out", default=None)
+    p.add_argument("--perturb", default="none", choices=["none", "scan"],
+                   help="corrupt the sparse INPUT (scan = anisotropic "
+                        "noise + holes + occlusion crop; GT stays clean) "
+                        "— use a dedicated --work dir")
     args = p.parse_args()
 
     from sapcu_tpu.data.mesh import load_off, sample_surface
@@ -82,6 +115,7 @@ def main():
               "weights": "random" if args.random_weights else args.weights,
               "ratio": args.ratio, "passes": args.passes,
               "refine_steps": args.refine_steps,
+              "perturb": args.perturb,
               "meshes": [os.path.basename(m) for m in meshes],
               "per_size": {}}
 
@@ -98,6 +132,8 @@ def main():
             verts, faces = load_off(m)
             sparse, _ = sample_surface(verts, faces, n, rng)
             dense, _ = sample_surface(verts, faces, n * args.ratio, rng)
+            if args.perturb == "scan":
+                sparse = perturb_scan(sparse, rng)
             np.savetxt(os.path.join(in_dir, name), sparse, fmt="%.6f")
             np.savetxt(os.path.join(gt_dir, name), dense, fmt="%.6f")
 

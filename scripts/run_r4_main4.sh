@@ -40,8 +40,12 @@ train_once() {
         fi
     done
     wait "$tp" 2>/dev/null
-    echo "trainer exited rc=$?"
-    return 0
+    local rc=$?
+    echo "trainer exited rc=$rc"
+    # propagate a crashed client's rc so the attempt loop retries it
+    # (e.g. the documented fast FAILED_PRECONDITION death) instead of
+    # treating the crash as success and proceeding on a stale checkpoint
+    return $rc
 }
 
 echo "=== [1/6] fn continuation, decayed lr $(date) ==="

@@ -17,7 +17,7 @@ def _sphere_shape(r=0.4):
     shape = jax.tree.map(lambda a: a, ds.sample_shape_params(
         jax.random.PRNGKey(0)))
     for c in shape["comps"]:
-        c["onehot"] = jnp.array([1.0, 0.0, 0.0, 0.0])
+        c["onehot"] = jax.nn.one_hot(0, ds.N_TYPES)
         c["radii"] = jnp.array([r, r, r])
         c["center"] = jnp.zeros(3)
         c["rot"] = jnp.eye(3)
