@@ -111,15 +111,28 @@ def main():
     sync(mega(rot(0)))                       # compile
     t_mega, ts_mega = timed(lambda i: mega(rot(i + 1)))
 
-    # fn alone on a patch batch (the layout the pipeline feeds it)
+    # fn/fd alone on a patch batch (the layout the pipeline feeds them).
+    # Cast params/state to bf16 exactly as pipeline._refine_body does —
+    # bf16 inputs against f32 SNN state trip a scan carry-dtype mismatch
+    # (threshold/refractory carries), and fd's decoder must STAY f32
+    # (trained BN vars ~1e-6 NaN under bf16).
+    def cast(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+
+    fn_pc, fn_sc = cast(fn_p), cast(fn_s)
+    fd_pc = {**cast(fd_p), "dec": fd_p["dec"]}
+    fd_sc = {**cast(fd_s), "dec": fd_s["dec"]}
+
     patch = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32) * 0.02)
     fn_j = jax.jit(lambda x: fn_model.fn_apply(
-        fn_p, fn_s, x.astype(jnp.bfloat16), fn_cfg, training=False)[0])
+        fn_pc, fn_sc, x.astype(jnp.bfloat16), fn_cfg, training=False)[0])
     sync(fn_j(patch))
     t_fn, _ = timed(lambda i: fn_j(patch * (1 + 1e-4 * i)))
 
     fd_j = jax.jit(lambda x: fd_model.fd_apply(
-        fd_p, fd_s, x.astype(jnp.bfloat16), fd_cfg, training=False)[0])
+        fd_pc, fd_sc, x.astype(jnp.bfloat16), fd_cfg, training=False)[0])
     sync(fd_j(patch))
     t_fd, _ = timed(lambda i: fd_j(patch * (1 + 1e-4 * i)))
 
