@@ -83,12 +83,25 @@ def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
     near-zero-initialised, and the decoder's LayerNorm is skipped so the
     raw residual adds to the prior before L2 normalisation. Default False
     = the reference architecture (golden-parity path).
+
+    pca_prior="ms" (fn-r5b): pca_prior=True plus MULTI-SCALE plane
+    features — plane fits at k=16/32/64 sign-aligned to the 8-NN prior
+    (12 extra dims), fed both to the decoder MLP and DIRECTLY to the
+    output head (skip connection). Rationale: the r5 run showed the
+    residual path cannot beat the prior within 16k its because the only
+    informative decoder inputs route through random-init MLP mixing
+    while the SNN encoder learns on a ~30k-it timescale (r2-r4: 42->37.7
+    over 31k its). At creases the small-k fit is right and at noise the
+    large-k fit is right; with direct head access, scale BLENDING is a
+    linear map the head can learn in O(100) its.
     """
+    ms = pca_prior == "ms"
+    geo_dims = (24 if ms else 12) if pca_prior else 0
     cfg = dict(k_values=tuple(k_values), emb_dims=emb_dims,
                time_steps_enc=time_steps_enc, num_heads=num_heads,
                dropout=dropout, decoder_dropout=decoder_dropout,
                d_models=(128, 256, 512), snn_mode=snn_mode,
-               pca_prior=bool(pca_prior))
+               pca_prior=("ms" if ms else bool(pca_prior)))
     ks = iter(jax.random.split(key, 16))
     params: dict = {"enc": {}, "dec": {}}
     state: dict = {"enc": {}, "dec": {}}
@@ -111,13 +124,15 @@ def init_fn_model(key, k_values=(24, 18, 12), emb_dims: int = 640,
     dec_p, dec_s = params["dec"], state["dec"]
     hidden = [1024, 512, 256]
     dec_p["mlp"], dec_s["mlp_bn"] = [], []
-    cin = 2048 + (12 if pca_prior else 0)   # + analytic plane features
+    cin = 2048 + geo_dims                   # + analytic plane features
     for h in hidden:
         p, s = _fc_bn(next(ks), cin, h)
         dec_p["mlp"].append(p)
         dec_s["mlp_bn"].append(s)
         cin = h
-    dec_p["fc_out"] = fnn.dense_init(next(ks), hidden[-1], 3)
+    # "ms": the head also sees the geo features directly (skip connection)
+    dec_p["fc_out"] = fnn.dense_init(
+        next(ks), hidden[-1] + (geo_dims if ms else 0), 3)
     if pca_prior:
         # near-zero residual head: the model outputs ~the analytic prior
         # at init and only learns the correction (sc_model.py precedent)
@@ -353,36 +368,49 @@ def fn_encoder_apply(params, state, x, cfg, *, training: bool, rng=None):
     return fnn.dense(enc_p["fc_out"], g), new_s
 
 
-def patch_plane_features(rel: jax.Array) -> tuple[jax.Array, jax.Array]:
+def patch_plane_features(rel: jax.Array, multiscale: bool = False
+                         ) -> tuple[jax.Array, jax.Array]:
     """Analytic prior features of a query-centered patch (nearest-first).
 
     rel: [..., M, 3] neighbour offsets -> (oriented 8-NN plane normal
     [..., 3], 12 geometry features [..., 12]) — the same prior block the
     sc head conditions on (sc_model.py::sc_head): 8-NN plane
     (normal, dist), full-patch plane, centroid direction/norm. Always
-    f32 (3x3 eigenvectors in bf16 are junk)."""
+    f32 (3x3 eigenvectors in bf16 are junk).
+
+    multiscale=True appends plane fits at k=16/32/64 (capped at M),
+    sign-ALIGNED to the 8-NN prior so a head blending them never has to
+    learn per-scale orientation conventions -> 24 feature dims."""
     rel32 = rel.astype(jnp.float32)
-    m8 = min(8, rel.shape[-2])
-    n8, d8 = ops.local_plane(rel32[..., :m8, :])
+    m = rel.shape[-2]
+    n8, d8 = ops.local_plane(rel32[..., :min(8, m), :])
     nm, dm = ops.local_plane(rel32)
     cmean = jnp.mean(rel32, axis=-2)
     cnorm = jnp.sqrt(jnp.maximum(
         jnp.sum(cmean * cmean, axis=-1, keepdims=True), 1e-12))
     cdir = cmean / cnorm
-    geo = jnp.concatenate(
-        [n8, d8[..., None] * 32.0, nm, dm[..., None] * 32.0,
-         cdir, cnorm * 32.0], axis=-1)
+    feats = [n8, d8[..., None] * 32.0, nm, dm[..., None] * 32.0,
+             cdir, cnorm * 32.0]
+    if multiscale:
+        for k in (16, 32, 64):
+            nk, dk = ops.local_plane(rel32[..., :min(k, m), :])
+            sgn = jnp.sign(jnp.sum(nk * n8, axis=-1, keepdims=True))
+            nk = nk * jnp.where(sgn == 0, 1.0, sgn)
+            feats += [nk, dk[..., None] * 32.0]
+    geo = jnp.concatenate(feats, axis=-1)
     return n8, geo
 
 
 def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None,
-                     prior_normal=None):
+                     prior_normal=None, geo=None):
     """StandardNormalDecoder: [B, 2048] -> unit normals [B, 3].
 
     With cfg["pca_prior"], ``prior_normal`` [B, 3] is required and the
     MLP output is a raw residual added to it (no LayerNorm — a 3-dim
     LayerNorm of a near-zero residual would renormalise it to O(1) and
-    destroy the prior at init)."""
+    destroy the prior at init). With pca_prior "ms", ``geo`` [B, 24] is
+    additionally concatenated to the head input (skip connection past
+    the MLP: scale blending stays a directly-learnable linear map)."""
     dec_p, dec_s = params["dec"], state["dec"]
     rngs = iter(jax.random.split(rng, 4)) if rng is not None else iter([None] * 4)
     new_bns = []
@@ -392,6 +420,8 @@ def fn_decoder_apply(params, state, x, cfg, *, training: bool, rng=None,
         h = fnn.gelu(h)
         h = fnn.dropout(next(rngs), h, cfg["decoder_dropout"], training)
         new_bns.append(nb)
+    if cfg.get("pca_prior") == "ms":
+        h = jnp.concatenate([h, geo.astype(h.dtype)], axis=-1)
     h = fnn.dense(dec_p["fc_out"], h)
     if cfg.get("pca_prior"):
         return (fnn.l2_normalize(prior_normal + h.astype(jnp.float32)),
@@ -417,16 +447,17 @@ def fn_apply(params, state, x, cfg, *, training: bool, rng=None):
         enc_rng, dec_rng = jax.random.split(rng)
     feat, new_enc = fn_encoder_apply(params, state, flat, cfg,
                                      training=training, rng=enc_rng)
-    prior = None
+    prior = geo = None
     if cfg.get("pca_prior"):
         # patches arrive nearest-first (top_k / topk_small order) both in
         # training (device_synth) and serving (pipeline._refine_body)
-        n8, geo = patch_plane_features(flat)
+        n8, geo = patch_plane_features(flat,
+                                       multiscale=cfg["pca_prior"] == "ms")
         feat = jnp.concatenate([feat, geo.astype(feat.dtype)], axis=-1)
         prior = n8
     normals, new_dec = fn_decoder_apply(params, state, feat, cfg,
                                         training=training, rng=dec_rng,
-                                        prior_normal=prior)
+                                        prior_normal=prior, geo=geo)
     if x.ndim == 4:
         normals = normals.reshape(b, n, 3)
     return normals, {"enc": new_enc, "dec": new_dec}

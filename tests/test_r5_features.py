@@ -191,6 +191,53 @@ def test_fn_pca_prior_grads_flow():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_fn_pca_prior_ms_outputs_prior_at_init_and_shapes():
+    """pca_prior="ms": 24 geo dims, head input 256+24, output still the
+    8-NN prior at init; multiscale normals are sign-aligned to it."""
+    params, state, cfg = models.init_fn_model(
+        jax.random.PRNGKey(0), k_values=(6, 6, 4), emb_dims=32,
+        time_steps_enc=2, num_heads=4, pca_prior="ms")
+    assert cfg["pca_prior"] == "ms"
+    assert params["dec"]["mlp"][0]["fc"]["kernel"].shape[0] == 2072  # +24
+    assert params["dec"]["fc_out"]["kernel"].shape[0] == 256 + 24
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(32, 24, 3)).astype(np.float32) * 0.05
+    pts[..., 2] = 0.01 * (pts[..., 0] ** 2 + pts[..., 1] ** 2) + 0.02
+    x = jnp.asarray(pts)
+    pred, _ = fn_model.fn_apply(params, state, x, cfg, training=False)
+    prior, geo = fn_model.patch_plane_features(x, multiscale=True)
+    assert geo.shape == (32, 24)
+    cosang = np.clip((np.asarray(pred) * np.asarray(prior)).sum(-1), -1, 1)
+    assert np.degrees(np.arccos(cosang)).max() < 1.0
+    # geo layout: [base 12 | n16, d16*32, n32, d32*32, n64, d64*32];
+    # every multiscale normal is sign-aligned with the 8-NN prior
+    geo = np.asarray(geo)
+    pr = np.asarray(prior)
+    for off in (12, 16, 20):
+        assert ((geo[:, off:off + 3] * pr).sum(-1) >= 0).all(), off
+
+
+def test_fn_pca_prior_ms_grads_reach_head_geo_columns():
+    """The direct geo->head skip must carry gradient (the r5b fix: scale
+    blending learnable without routing through the MLP)."""
+    params, state, cfg = models.init_fn_model(
+        jax.random.PRNGKey(0), k_values=(6, 6, 4), emb_dims=32,
+        time_steps_enc=2, num_heads=4, pca_prior="ms", snn_mode="rate")
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, 24, 3)).astype(np.float32) * 0.05)
+    tgt = jnp.asarray(np.tile([0.0, 0.0, 1.0], (8, 1)).astype(np.float32))
+
+    def loss(p):
+        pred, _ = fn_model.fn_apply(p, state, x, cfg, training=True,
+                                    rng=jax.random.PRNGKey(1))
+        return jnp.mean(jnp.sum((pred - tgt) ** 2, axis=-1))
+
+    g = jax.grad(loss)(params)
+    gk = np.asarray(g["dec"]["fc_out"]["kernel"])
+    assert np.isfinite(gk).all()
+    assert np.abs(gk[256:]).max() > 0       # geo skip columns get gradient
+
+
 # ------------------------------------------------------- schedules / loop
 def test_cosine_it_schedule_decays_per_iteration():
     cfg = {"training": {"lr": 1e-3, "min_lr": 1e-5, "lr_policy": "cosine_it",
