@@ -33,6 +33,21 @@ def run_training(kind: str, cfg: dict, out_dir: str, *,
                  seed: int | None = None) -> dict:
     """Train an fn, fd, or sc model; returns summary dict."""
     assert kind in ("fn", "fd", "sc")
+    # Deadline stops must flush the pending best snapshot. The chain
+    # scripts' `kill -INT` cannot do it: background children of a
+    # non-interactive shell inherit SIG_IGN for SIGINT and CPython then
+    # never installs the KeyboardInterrupt handler (found round 5 — the
+    # r5 fn trainer ignored the deadline INT). Route SIGTERM into the
+    # KeyboardInterrupt path instead, which writes best + interrupt ckpts.
+    import signal as _signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    try:
+        _signal.signal(_signal.SIGTERM, _term)
+    except ValueError:      # not the main thread (tests drive this inline)
+        pass
     t_cfg = cfg["training"]
     logger = RunLogger(out_dir, use_tensorboard=cfg.get(
         "monitoring", {}).get("use_tensorboard", True))
