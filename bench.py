@@ -287,6 +287,51 @@ def main():
         print(f"# 4x product: {preps} clouds x {target} pts in {dt:.2f}s "
               f"-> {target * preps / dt:.0f} pts/s", file=sys.stderr)
 
+        # (c) pts_per_s_4x_product_batch — the fused cloud-BATCHED product
+        #     program (pipeline.upsample_product_batch): one jit runs B
+        #     clouds, widening every kernel by B (the per-cloud product
+        #     kernels run ~1% of bf16 peak at ~24k-seed shapes — batch is
+        #     where the remaining throughput lives on TPU). Per-cloud math
+        #     is identical to (b) — tests/test_r5_features.py pins it —
+        #     so the same GT-Chamfer gate covers it. This is the serving
+        #     shape for sweeps of same-size clouds (the reference iterates
+        #     its test set serially, generate.py:22-36).
+        try:
+            pb = int(os.environ.get("BENCH_PRODUCT_BATCH", 8))
+            if pb > 1:
+                base = jnp.asarray(cloud)      # rotate ON device: the
+                #  [B, N, 3] batch never crosses the host->device tunnel
+                def rotbatch(i0):
+                    ang = np.arange(i0, i0 + pb, dtype=np.float32)
+                    R = np.stack([[[np.cos(a), -np.sin(a), 0],
+                                   [np.sin(a), np.cos(a), 0],
+                                   [0, 0, 1]] for a in ang]).astype(
+                                       np.float32)
+                    return jnp.einsum("nc,bdc->bnd", base, jnp.asarray(R))
+                sel, _nk = up.upsample_product_batch(rotbatch(200), target)
+                float(jnp.sum(sel))            # warmup sync (compile/load)
+                breps = int(os.environ.get("BENCH_PRODUCT_BATCH_REPS", 3))
+                t0 = time.time()
+                for i in range(breps):
+                    sel, _nk = up.upsample_product_batch(
+                        rotbatch(300 + pb * i), target)
+                    float(jnp.sum(sel))        # per-batch sync
+                    _record(_result["value"], _result["stage"],
+                            pts_per_s_4x_product_batch=round(
+                                target * pb * (i + 1) / (time.time() - t0),
+                                1))
+                dt = time.time() - t0
+                _record(_result["value"], "done",
+                        pts_per_s_4x_product_batch=round(
+                            target * pb * breps / dt, 1),
+                        product_batch=pb)
+                print(f"# 4x product batch: {breps} x {pb} clouds x "
+                      f"{target} pts in {dt:.2f}s -> "
+                      f"{target * pb * breps / dt:.0f} pts/s",
+                      file=sys.stderr)
+        except Exception as e:               # never endanger the headline
+            print(f"# product-batch bench skipped: {e!r}", file=sys.stderr)
+
     # comparison point: one fast-mode e2e rep (same weights/dtype), so
     # the artifact carries both serving modes
     if mode == "sc" and os.environ.get("BENCH_ALSO_FAST", "1") != "0":

@@ -414,6 +414,80 @@ def _stride_select(pts: jax.Array, n_valid: jax.Array, n_out: int,
     return pts[order[pos]]
 
 
+@functools.partial(jax.jit, static_argnames=("n_seeds", "target", "cfg_s",
+                                             "compute_dtype", "refine_steps",
+                                             "outlier_chunk"))
+def _product_batch(sc_params, sc_state, clouds, keys, n_seeds: int,
+                   target: int, cfg_s, compute_dtype: str,
+                   threshold, refine_steps: int, outlier_chunk: int = 1024):
+    """Fused, cloud-BATCHED product pipeline: one compiled program runs
+    B clouds through interp-seeding -> sc move -> outlier filter ->
+    Morton-strided selection -> (refine_steps-1) Newton moves.
+
+    Why this exists: the per-cloud product path (product_dispatch) is
+    6 separate dispatches whose kernels run far below the chip's compute
+    ceiling at ~24k-seed shapes (the sc head measures ~1% of bf16 peak
+    at serving sizes — HBM/layout-bound, not FLOP-bound; STATUS.md r3
+    stage times). vmapping the whole chain over a cloud axis widens every
+    kernel by B with no extra dispatches, which is where the remaining
+    product throughput lives on TPU. The math per cloud is identical to
+    the single-cloud path (pinned by
+    tests/test_r5_features.py::test_product_batch_matches_single):
+    - same per-cloud RNG key stream,
+    - same head chunking (min(8192, n)),
+    - knn_tiled per-row results are chunk-independent, so the smaller
+      outlier query tile (memory: B tiles live at once) changes nothing,
+    - compact here is a stable argsort on ~keep (kept rows first, input
+      order preserved) — _stride_select reads only ranks < n_keep, so
+      the differing pad tails of _compact never matter.
+    The cloud ONCE-encode is reused across both refine steps (the
+    single-cloud path re-encodes per _sc_moved call).
+    """
+    cfg = dict(cfg_s)
+    cfg.setdefault("head_knn",
+                   os.environ.get("SAPCU_SC_HEAD_KNN", "approx"))
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if compute_dtype != "float32":
+        sc_params, sc_state = jax.tree.map(
+            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
+            (sc_params, sc_state))
+
+    def one(cloud, key):
+        seeds = _interp_seeds(cloud, key, n_seeds)
+        cloud_c = cloud[None].astype(cdt)
+        feats, _ = scm.sc_encode(sc_params, sc_state, cloud_c, cfg,
+                                 training=False)
+
+        def head_move(pts, chunk):
+            npts = pts.shape[0]
+            pad = (-npts) % chunk
+            if pad:      # same sentinel padding as _sc_moved
+                pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=1e3)
+            tiles = pts.reshape(-1, chunk, 3)
+
+            def mv(tile):
+                n, d = scm.sc_head(sc_params, feats, cloud_c,
+                                   tile[None].astype(cdt), cfg,
+                                   training=False)
+                return tile + n[0] * d[0][:, None]
+
+            return jax.lax.map(mv, tiles).reshape(-1, 3)[:npts]
+
+        moved = head_move(seeds, min(8192, n_seeds))
+        keep = _outlier_mask(moved, jnp.ones((n_seeds,), bool), threshold,
+                             chunk=outlier_chunk, approx=True)
+        # stable argsort on (kept? 0 : 1): kept rows first, input order
+        # preserved — the order-preserving compact
+        order = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int32))
+        n_keep = jnp.sum(keep.astype(jnp.int32))
+        sel = _stride_select(moved[order], n_keep, target)
+        for _ in range(refine_steps - 1):
+            sel = head_move(sel, min(8192, target))
+        return sel, n_keep
+
+    return jax.vmap(one)(clouds, keys)
+
+
 class Upsampler:
     """Drop-in functional analog of Generator3D6 (generation.py:50-187).
 
@@ -716,6 +790,28 @@ class Upsampler:
         sel, _ = self.product_resolve(
             self.product_dispatch(data, target_points, oversample))
         return sel
+
+    def upsample_product_batch(self, data, target_points: int,
+                               oversample: float = 2.5
+                               ) -> tuple[jax.Array, jax.Array]:
+        """Cloud-batched product path: [B, N, 3] -> ([B, target, 3]
+        on device, keep counts [B]). One fused program for all B clouds
+        (see _product_batch) — the production serving shape for sweeps
+        of same-size clouds (the reference's generate.py iterates its
+        test set serially one cloud at a time, generate.py:22-36)."""
+        assert self.mode == "sc" and self.sc_bundle is not None, \
+            "product mode requires mode='sc'"
+        assert self.mesh is None, "product mode is single-chip"
+        clouds = jnp.asarray(data, dtype=jnp.float32)
+        assert clouds.ndim == 3, "expected [B, N, 3]"
+        n_seeds = max(8192, -(-int(target_points * oversample) // 8192)
+                      * 8192)
+        # same per-cloud key as product_dispatch -> identical outputs
+        keys = jnp.tile(jax.random.PRNGKey(0)[None], (clouds.shape[0], 1))
+        return _product_batch(self.sc_params, self.sc_state, clouds, keys,
+                              n_seeds, target_points, self.sc_cfg_s,
+                              self.compute_dtype, self.outlier_threshold,
+                              self.refine_steps)
 
     def generate_seeds(self, cloud: np.ndarray) -> np.ndarray:
         return seeds_mod.generate_seeds(cloud, cell=self.dense_spacing,

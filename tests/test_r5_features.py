@@ -108,6 +108,24 @@ def test_product_mode_end_to_end():
     np.testing.assert_array_equal(np.asarray(sel), out)
 
 
+def test_product_batch_matches_single():
+    """The fused cloud-batched product program must reproduce the
+    single-cloud product path per cloud: same seeds (same per-cloud key),
+    same head chunking, chunk-independent outlier kNN, and an
+    order-preserving compact — so outputs agree to float tolerance."""
+    up = _sc_upsampler(refine_steps=2)
+    clouds = np.stack([_sphere(300, seed=2), _sphere(300, r=0.38, seed=9)])
+    target = 4 * 300
+    singles = [np.asarray(up.upsample_product(c, target)) for c in clouds]
+    batch, n_keep = up.upsample_product_batch(clouds, target)
+    batch = np.asarray(batch)
+    n_keep = np.asarray(n_keep)
+    assert batch.shape == (2, target, 3)
+    assert (n_keep > target).all()
+    for i in range(2):
+        np.testing.assert_allclose(batch[i], singles[i], atol=1e-4)
+
+
 def test_product_mode_requires_sc():
     fn_bundle = models.init_fn_model(jax.random.PRNGKey(0),
                                      k_values=(6, 6, 4), emb_dims=32,
