@@ -153,6 +153,12 @@ def main():
                         "path, quality-gated vs the full shell)")
     p.add_argument("--sc-config", default="configs/sc.yaml")
     p.add_argument("--sc-dir", default="out/sc")
+    p.add_argument("--product-batch", type=int, default=1,
+                   help="(--mode product only) group same-size inputs and "
+                        "run B clouds per fused device program "
+                        "(pipeline.upsample_product_batch) — the sweep "
+                        "throughput shape; per-cloud results are identical "
+                        "to B=1")
     args = p.parse_args()
     if args.mode is None:
         args.mode = "fast" if args.fast else "exact"
@@ -203,6 +209,50 @@ def main():
 
     if not jobs:
         p.error("no inputs: pass --input, --input-dir, or --sweep-root")
+
+    if product and args.product_batch > 1:
+        # group same-(N, target) files and run B clouds per fused program;
+        # the last group pads by repeating a member (its extra output is
+        # discarded) so every group hits the same compiled shape
+        from collections import defaultdict
+        pb = args.product_batch
+        groups = defaultdict(list)
+        for src, dst, tgt in jobs:
+            n_in = np.loadtxt(src)[:, :3].shape[0]
+            groups[(n_in, tgt)].append((src, dst))
+        t_all = time.time()
+        total_pts = done = 0
+        for (n_in, tgt), members in sorted(groups.items()):
+            for j0 in range(0, len(members), pb):
+                chunk = members[j0:j0 + pb]
+                clouds, metas = [], []
+                for src, dst in chunk:
+                    norm, loc, scale = normalize_pointcloud(
+                        np.loadtxt(src)[:, :3])
+                    clouds.append(norm)
+                    metas.append((dst, loc, scale))
+                while len(clouds) < pb:
+                    clouds.append(clouds[0])
+                    metas.append(None)
+                t0 = time.time()
+                sel, _nk = gen.upsample_product_batch(
+                    np.stack(clouds).astype(np.float32), tgt)
+                sel = np.asarray(sel)
+                dt = time.time() - t0
+                for b, meta in enumerate(metas):
+                    if meta is None:
+                        continue
+                    dst, loc, scale = meta
+                    np.savetxt(dst, sel[b] * scale + loc, fmt="%.6f")
+                    done += 1
+                    total_pts += tgt
+                print(f"[{done}/{len(jobs)}] batch x{len(chunk)} @N={n_in} "
+                      f"-> {tgt} pts each in {dt:.2f}s")
+        t_all = time.time() - t_all
+        print(f"Done. Files: {done}, total {t_all:.1f}s, "
+              f"avg {t_all / max(done, 1):.2f}s/file, "
+              f"{total_pts / max(t_all, 1e-9):.0f} pts/s")
+        return
 
     total_t, total_pts = 0.0, 0
     for i, (src, dst, tgt) in enumerate(jobs):
